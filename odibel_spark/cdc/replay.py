@@ -1,0 +1,83 @@
+"""Batch CDC replay: dead-letter split + last-writer-wins fold.
+
+This is the *oracle-grade* batch path (SURVEY.md §7.2 M1): given the
+full WAL, reproduce the final transcript table exactly. The streaming
+engine (cdc/pipeline.py) must converge to the same table; tests compare
+the two with the full-outer-join diff (operators/diff.py), the
+reference's own correctness idiom (eval/SnapshotEval.scala:132-160).
+
+Scale shape: one hash shuffle on (conv_id, turn_idx) for the window
+fold — the minimum possible for a keyed reduction — and the duplicate
+drop rides the same partitioning (dropDuplicates on a superset of the
+window keys is merged into the same exchange by Catalyst). No Python
+UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EVENT_OPS = ("insert", "update", "delete")
+
+#: primary key of the materialized transcript table
+KEY_COLS = ["conv_id", "turn_idx"]
+#: full dedup identity of a WAL event
+EVENT_ID_COLS = ["conv_id", "turn_idx", "lsn"]
+#: payload columns carried into the materialized table
+PAYLOAD_COLS = ["role", "text", "tool", "ts"]
+
+
+def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Separate poison events from applicable ones.
+
+    Reference policy: a failed/corrupt event must produce *no state
+    change* — in particular it must never be folded into a delete
+    (DBpediaTKGExtraction.scala:174-195, "return None instead of empty
+    String to not remove triples later"). Poison = unknown op, null key
+    parts, or non-delete with a null payload.
+    """
+    bad = (
+        ~F.col("op").isin(*EVENT_OPS)
+        | F.col("conv_id").isNull()
+        | F.col("turn_idx").isNull()
+        | F.col("lsn").isNull()
+        | ((F.col("op") != "delete") & F.col("text").isNull())
+    )
+    flagged = events.withColumn("_dead", bad)
+    return (
+        flagged.filter(~F.col("_dead")).drop("_dead"),
+        flagged.filter(F.col("_dead")).drop("_dead"),
+    )
+
+
+def last_writer_wins(events: DataFrame, *, tie_break: list[str] | None = None) -> DataFrame:
+    """Reduce a WAL to one winning event per (conv_id, turn_idx):
+    the event with the highest LSN (exact duplicates collapse first).
+
+    Returns winners *including* delete winners — callers that want the
+    live table apply ``current_state``; callers implementing MERGE need
+    the delete rows to drive `WHEN MATCHED ... DELETE`.
+    """
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("lsn").desc(), *(tie_break or []))
+    return (
+        events.dropDuplicates(EVENT_ID_COLS)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def current_state(events: DataFrame) -> DataFrame:
+    """Full batch replay → live transcript table.
+
+    dead-letter split → exact dedup → LWW fold → drop delete winners.
+    Output schema = the input_hint transcript shape
+    (conv_id, turn_idx, role, text, tool, ts) + applied lsn.
+    """
+    ok, _dead = split_dead_letters(events)
+    winners = last_writer_wins(ok)
+    return (
+        winners.filter(F.col("op") != "delete")
+        .select(*KEY_COLS, *PAYLOAD_COLS, F.col("lsn").alias("_lsn"))
+    )
