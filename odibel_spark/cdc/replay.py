@@ -51,17 +51,24 @@ def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def last_writer_wins(events: DataFrame, *, tie_break: list[str] | None = None) -> DataFrame:
-    """Reduce a WAL to one winning event per (conv_id, turn_idx):
-    the event with the highest LSN (exact duplicates collapse first).
+def last_writer_wins(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    lsn_col: str = "lsn",
+    *,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """Reduce a WAL to one winning event per key: the event with the
+    highest LSN (exact duplicates collapse first).
 
     Returns winners *including* delete winners — callers that want the
     live table apply ``current_state``; callers implementing MERGE need
     the delete rows to drive `WHEN MATCHED ... DELETE`.
     """
-    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("lsn").desc(), *(tie_break or []))
+    keys = key_cols or KEY_COLS
+    w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).desc(), *(tie_break or []))
     return (
-        events.dropDuplicates(EVENT_ID_COLS)
+        events.dropDuplicates([*keys, lsn_col])
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")

@@ -1,0 +1,383 @@
+"""LakeTable — a from-scratch transactional table format over parquet.
+
+The sandbox image carries no Iceberg/Delta jars, so the engine
+implements the snapshot-transaction semantics the north rule requires
+(exactly-once commits, schema evolution, time travel, bucketed layout)
+directly: immutable parquet data files + JSON snapshot manifests +
+atomic optimistic commits. The reference's sink is a blind
+``write.mode("overwrite").parquet`` (reference
+DBpediaTKGExtractionSpark.scala:44) — this class is precisely what
+replaces it.
+
+Design (Iceberg-style, metadata tiny and O(#files)):
+
+```
+<root>/
+  _meta/v00000000000000000001.json   # snapshot manifest (one per commit)
+  _meta/v00000000000000000002.json
+  data/c2-<uuid>/_bucket=K/part-*.parquet
+```
+
+* A **manifest** lists the exact data files of the snapshot, the
+  authoritative schema, the partition spec, a free-form ``summary``
+  and a ``watermarks`` map (stream-id → last applied epoch) used for
+  epoch fencing by the streaming sink.
+* **Atomic commit**: the manifest is written to a temp file and
+  published with ``os.link`` — creating ``v{n}.json`` fails with
+  ``FileExistsError`` if another writer committed version *n* first
+  (optimistic concurrency). Data files written before a failed commit
+  are unreferenced orphans, removable by ``vacuum``.
+* **Bucketed layout**: rows are hash-bucketed on a key column
+  (reference analog: ``repartition(parts, $"pid")`` replay layout,
+  FlatPageRevisionPartitioner.scala:22-24). Every data file belongs to
+  exactly one bucket, so MERGE rewrites only the buckets its source
+  keys touch — the copy-on-write unit is a bucket, not the table.
+* **Schema evolution**: the manifest schema is authoritative; readers
+  pass it to the parquet scan explicitly, so files written before an
+  ``add_columns`` commit surface the new columns as NULL (by-name
+  column resolution), exactly Iceberg's add-column semantics.
+
+Scale: all driver-side metadata is O(number of data files) JSON; all
+data movement is distributed Spark jobs. At 1000 executors the commit
+protocol is unchanged — only the manifest store would move from local
+fs to an object store with a conditional-put (the ``os.link`` here is
+the same primitive).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "_meta"
+DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    column: str
+    buckets: int = 16
+
+    def expr(self) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(self.column)), F.lit(self.buckets)).cast("int")
+
+    def to_json(self) -> dict:
+        return {"column": self.column, "buckets": self.buckets}
+
+    @staticmethod
+    def from_json(d: dict | None) -> "BucketSpec | None":
+        return BucketSpec(d["column"], d["buckets"]) if d else None
+
+
+def _file_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+class LakeTable:
+    """Handle to one transactional table. Cheap to construct; all state
+    lives on disk in the manifest chain."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, META_DIR)
+
+    # ------------------------------------------------------------- DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        bucket: BucketSpec | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        if t.current_version() is not None:
+            raise FileExistsError(f"table already exists at {root}")
+        t._commit(
+            version=1,
+            files=[],
+            schema=schema,
+            bucket=bucket,
+            summary={"op": "create", **(properties or {})},
+            watermarks={},
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no table at {root}")
+        return t
+
+    @classmethod
+    def exists(cls, spark: SparkSession, root: str) -> bool:
+        t = cls(spark, root)
+        return t.current_version() is not None
+
+    # ----------------------------------------------------- manifest IO
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"v{version:020d}.json")
+
+    def current_version(self) -> int | None:
+        try:
+            names = [n for n in os.listdir(self.meta_dir) if n.startswith("v") and n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        if not names:
+            return None
+        return max(int(n[1:-5]) for n in names)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot at {self.root}")
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        v = self.current_version() or 0
+        return [self.manifest(i) for i in range(1, v + 1)]
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest(version)["schema"]))
+
+    def bucket_spec(self, version: int | None = None) -> BucketSpec | None:
+        return BucketSpec.from_json(self.manifest(version).get("bucket"))
+
+    def watermark(self, stream_id: str) -> int:
+        """Last epoch applied for a stream (−1 if never). The epoch
+        fence for exactly-once foreachBatch commits."""
+        return int(self.manifest().get("watermarks", {}).get(stream_id, -1))
+
+    def _commit(
+        self,
+        version: int,
+        files: list[dict],
+        schema: T.StructType,
+        bucket: BucketSpec | None,
+        summary: dict,
+        watermarks: dict,
+        parent: int | None = None,
+    ) -> dict:
+        man = {
+            "format_version": 1,
+            "version": version,
+            "parent": parent,
+            "committed_at_ms": int(time.time() * 1000),
+            "schema": schema.json(),
+            "bucket": bucket.to_json() if bucket else None,
+            "files": files,
+            "row_count": sum(f["rows"] for f in files),
+            "summary": summary,
+            "watermarks": watermarks,
+        }
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._manifest_path(version)
+        try:
+            os.link(tmp, final)  # atomic publish; fails if version taken
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed at {self.root}") from e
+        finally:
+            os.unlink(tmp)
+        return man
+
+    # -------------------------------------------------------- data IO
+    def _write_data_files(self, df: DataFrame, version_hint: int, bucket: BucketSpec | None) -> list[dict]:
+        """Write df as immutable parquet files under data/, return file
+        descriptors. Bucketed tables cluster rows so each file belongs
+        to one bucket (partitionBy directory = bucket id)."""
+        commit_dir = os.path.join(self.root, DATA_DIR, f"c{version_hint}-{uuid.uuid4().hex[:8]}")
+        if bucket:
+            out = (
+                df.withColumn("_bucket", bucket.expr())
+                .repartition(bucket.buckets, "_bucket")
+                .sortWithinPartitions(bucket.column)
+            )
+            out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
+        else:
+            df.write.mode("errorifexists").parquet(commit_dir)
+        files = []
+        for dirpath, _dirs, names in os.walk(commit_dir):
+            b = None
+            base = os.path.basename(dirpath)
+            if base.startswith("_bucket="):
+                b = int(base.split("=", 1)[1])
+            for n in sorted(names):
+                if n.endswith(".parquet"):
+                    p = os.path.join(dirpath, n)
+                    files.append(
+                        {
+                            "path": os.path.relpath(p, self.root),
+                            "bucket": b,
+                            "rows": _file_rows(p),
+                            "bytes": os.path.getsize(p),
+                        }
+                    )
+        return files
+
+    def files(self, version: int | None = None, buckets: set[int] | None = None) -> list[dict]:
+        fs = self.manifest(version)["files"]
+        if buckets is not None:
+            fs = [f for f in fs if f.get("bucket") in buckets]
+        return fs
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: set[int] | None = None,
+        with_bucket_col: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Snapshot read (time travel via ``version``); optionally
+        restricted to a bucket subset — the MERGE fast path.
+
+        If the table carries a ``_deleted`` tombstone column (CDC
+        tables do — see lake/merge.py), tombstoned rows are filtered
+        and the column hidden unless ``include_tombstones``.
+        """
+        schema = self.schema(version)
+        fs = self.files(version, buckets)
+        if not fs:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.root, f["path"]) for f in fs]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if "_deleted" in schema.fieldNames() and not include_tombstones:
+            df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        if with_bucket_col:
+            spec = self.bucket_spec(version)
+            if spec is None:
+                raise ValueError("table is not bucketed")
+            df = df.withColumn("_bucket", spec.expr())
+        return df
+
+    # ------------------------------------------------------- mutations
+    def _next_commit(
+        self,
+        new_files: list[dict],
+        keep_files: list[dict],
+        summary: dict,
+        watermarks_update: dict | None = None,
+        schema: T.StructType | None = None,
+        retries: int = 5,
+    ) -> dict:
+        for attempt in range(retries):
+            cur = self.manifest()
+            wm = dict(cur.get("watermarks", {}))
+            wm.update(watermarks_update or {})
+            try:
+                return self._commit(
+                    version=cur["version"] + 1,
+                    parent=cur["version"],
+                    files=keep_files + new_files,
+                    schema=schema or self.schema(),
+                    bucket=self.bucket_spec(),
+                    summary=summary,
+                    watermarks=wm,
+                )
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict("unreachable")
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> dict:
+        cur = self.manifest()
+        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        return self._next_commit(new, cur["files"], {"op": "append", **(summary or {})})
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
+        cur = self.manifest()
+        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        return self._next_commit(new, [], {"op": "overwrite", **(summary or {})})
+
+    def commit_metadata(self, summary: dict, watermarks_update: dict | None = None) -> dict:
+        """Metadata-only commit (e.g. advance an epoch watermark for an
+        empty batch)."""
+        cur = self.manifest()
+        return self._next_commit([], cur["files"], summary, watermarks_update)
+
+    def add_columns(self, new_fields: list[T.StructField], summary: dict | None = None) -> dict:
+        """Schema evolution: append columns. Existing files are
+        untouched; readers see NULLs for old files (by-name parquet
+        resolution against the authoritative manifest schema)."""
+        cur_schema = self.schema()
+        existing = {f.name for f in cur_schema.fields}
+        added = [f for f in new_fields if f.name not in existing]
+        if not added:
+            return self.manifest()
+        new_schema = T.StructType(cur_schema.fields + added)
+        cur = self.manifest()
+        return self._next_commit(
+            [], cur["files"],
+            {"op": "evolve-schema", "added": [f.name for f in added], **(summary or {})},
+            schema=new_schema,
+        )
+
+    def replace_buckets(
+        self,
+        buckets: set[int],
+        df: DataFrame,
+        summary: dict | None = None,
+        watermarks_update: dict | None = None,
+        schema: T.StructType | None = None,
+    ) -> dict:
+        """Copy-on-write commit unit: atomically swap all files of the
+        given buckets for the new data (which must only contain rows of
+        those buckets). Files in other buckets are carried over."""
+        cur = self.manifest()
+        keep = [f for f in cur["files"] if f.get("bucket") not in buckets]
+        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        stray = [f for f in new if f.get("bucket") not in buckets and f["rows"] > 0]
+        if stray:
+            raise ValueError(f"replacement data contains rows outside target buckets: {stray}")
+        return self._next_commit(
+            new, keep, {"op": "merge", **(summary or {})}, watermarks_update, schema=schema
+        )
+
+    # ------------------------------------------------------ maintenance
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the last ``keep_versions``
+        manifests (crash orphans + copy-on-write leftovers)."""
+        cur = self.current_version() or 0
+        live: set[str] = set()
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            live |= {f["path"] for f in self.manifest(v)["files"]}
+        removed = []
+        data_root = os.path.join(self.root, DATA_DIR)
+        for dirpath, _dirs, names in os.walk(data_root):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                rel = os.path.relpath(p, self.root)
+                if rel not in live and n.endswith(".parquet"):
+                    os.unlink(p)
+                    removed.append(rel)
+        # prune empty commit dirs
+        for entry in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            d = os.path.join(data_root, entry)
+            if os.path.isdir(d) and not any(files for _, _, files in os.walk(d)):
+                shutil.rmtree(d, ignore_errors=True)
+        return removed

@@ -1,0 +1,220 @@
+"""LakeTable transactional format + MERGE correctness."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odibel_spark.cdc import WalConfig, current_state, gen_events, split_dead_letters
+from odibel_spark.lake import (
+    BucketSpec,
+    CommitConflict,
+    LakeTable,
+    cdc_table_schema,
+    compact_tombstones,
+    create_cdc_table,
+    merge_upsert,
+)
+
+TRANSCRIPT_FIELDS = [
+    T.StructField("conv_id", T.StringType(), False),
+    T.StructField("turn_idx", T.IntegerType(), False),
+    T.StructField("role", T.StringType(), True),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("tool", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+]
+TRANSCRIPT_SCHEMA = cdc_table_schema(TRANSCRIPT_FIELDS)
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def make_table(spark, root, buckets=8):
+    return create_cdc_table(spark, root, TRANSCRIPT_FIELDS, BucketSpec("conv_id", buckets))
+
+
+def test_create_append_read_timetravel(spark, tmpdir_path):
+    t = make_table(spark, os.path.join(tmpdir_path, "t1"))
+    assert t.read().count() == 0
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, None, 1, False), ("c2", 0, "user", "yo", None, None, 2, False)],
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    t.append(df)
+    assert t.read().count() == 2
+    t.append(df.withColumn("turn_idx", F.col("turn_idx") + 1))
+    assert t.read().count() == 4
+    assert t.read(version=2).count() == 2  # time travel
+    assert t.current_version() == 3
+    t2 = LakeTable.load(spark, t.root)
+    assert t2.read().count() == 4
+
+
+def test_commit_conflict(spark, tmpdir_path):
+    t = make_table(spark, os.path.join(tmpdir_path, "t2"))
+    man = t.manifest()
+    with pytest.raises(CommitConflict):
+        t._commit(version=man["version"], files=[], schema=t.schema(), bucket=t.bucket_spec(),
+                  summary={}, watermarks={})
+
+
+def test_merge_upsert_semantics(spark, tmpdir_path):
+    t = make_table(spark, os.path.join(tmpdir_path, "t3"))
+    ev_schema = "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [
+            (1, "insert", "c1", 0, "user", "hello", None, None),
+            (2, "insert", "c1", 1, "assistant", "hi!", None, None),
+            (3, "insert", "c2", 0, "user", "yo", None, None),
+        ],
+        ev_schema,
+    )
+    merge_upsert(t, b1, KEYS)
+    assert t.read().count() == 3
+
+    # update + delete + duplicate + stale event in one batch
+    b2 = spark.createDataFrame(
+        [
+            (5, "update", "c1", 1, "assistant", "hi there!", None, None),
+            (5, "update", "c1", 1, "assistant", "hi there!", None, None),  # dup
+            (4, "delete", "c2", 0, None, None, None, None),
+            (0, "update", "c1", 0, "user", "STALE", None, None),  # stale lsn < applied
+        ],
+        ev_schema,
+    )
+    merge_upsert(t, b2, KEYS)
+    rows = {(r.conv_id, r.turn_idx): (r.text, r._lsn) for r in t.read().collect()}
+    assert rows == {("c1", 0): ("hello", 1), ("c1", 1): ("hi there!", 5)}
+
+    # idempotent replay: re-applying the same batch changes nothing
+    v_before = t.current_version()
+    merge_upsert(t, b2, KEYS)
+    rows2 = {(r.conv_id, r.turn_idx): (r.text, r._lsn) for r in t.read().collect()}
+    assert rows2 == rows
+    assert t.current_version() == v_before + 1  # commit happened, data identical
+
+    # delete then re-insert (window close/reopen)
+    b3 = spark.createDataFrame([(6, "insert", "c2", 0, "user", "back", None, None)], ev_schema)
+    merge_upsert(t, b3, KEYS)
+    rows3 = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert rows3[("c2", 0)] == "back"
+
+
+def test_tombstone_fences_stale_update_and_compaction(spark, tmpdir_path):
+    """A stale out-of-order update arriving AFTER the delete was applied
+    must not resurrect the key — the tombstone carries the LSN fence."""
+    t = make_table(spark, os.path.join(tmpdir_path, "t8"))
+    ev_schema = "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    merge_upsert(t, spark.createDataFrame([(1, "insert", "c1", 0, "user", "v1", None, None)], ev_schema), KEYS)
+    merge_upsert(t, spark.createDataFrame([(9, "delete", "c1", 0, None, None, None, None)], ev_schema), KEYS)
+    assert t.read().count() == 0
+    ts = t.read(include_tombstones=True).collect()
+    assert len(ts) == 1 and ts[0]._deleted and ts[0]._lsn == 9
+
+    # stale update (lsn 5 < 9) in a later batch: must stay dead
+    merge_upsert(t, spark.createDataFrame([(5, "update", "c1", 0, "user", "ZOMBIE", None, None)], ev_schema), KEYS)
+    assert t.read().count() == 0
+
+    # genuine re-insert (lsn 12 > 9) revives
+    merge_upsert(t, spark.createDataFrame([(12, "insert", "c1", 0, "user", "alive", None, None)], ev_schema), KEYS)
+    assert [r.text for r in t.read().collect()] == ["alive"]
+
+    # tombstone GC once low-watermark passes
+    merge_upsert(t, spark.createDataFrame([(20, "delete", "c1", 0, None, None, None, None)], ev_schema), KEYS)
+    compact_tombstones(t, below_lsn=100)
+    assert t.read(include_tombstones=True).count() == 0
+
+
+def test_merge_bucket_pruning(spark, tmpdir_path):
+    """A batch touching one key must carry over every untouched bucket's
+    files unchanged (copy-on-write unit = bucket)."""
+    t = make_table(spark, os.path.join(tmpdir_path, "t4"), buckets=8)
+    cfg = WalConfig(n_events=4000, n_convs=64, seed=3)
+    ev = gen_events(spark, cfg).drop("_feed_order", "meta")
+    ok, _ = split_dead_letters(ev)
+    merge_upsert(t, ok, KEYS)
+    files_before = {f["path"]: f for f in t.files()}
+
+    one = spark.createDataFrame(
+        [(10_000_000, "update", "conv-0", 0, "user", "poke", None, None)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    man = merge_upsert(t, one, KEYS)
+    touched = set(man["summary"]["touched_buckets"])
+    assert len(touched) == 1
+    untouched_before = {p for p, f in files_before.items() if f["bucket"] not in touched}
+    after = {f["path"] for f in t.files()}
+    assert untouched_before <= after, "untouched bucket files must be carried over byte-identical"
+
+
+def test_full_replay_merge_equals_batch_oracle(spark, tmpdir_path):
+    """Chunked MERGE replay (as the streaming sink does) converges to the
+    batch LWW fold — the reference's final-table-state oracle."""
+    t = make_table(spark, os.path.join(tmpdir_path, "t5"))
+    cfg = WalConfig(n_events=12_000, n_convs=200, seed=5)
+    ev = gen_events(spark, cfg).drop("meta").cache()
+    ok, _dead = split_dead_letters(ev.drop("_feed_order"))
+
+    n_chunks = 5
+    for i in range(n_chunks):
+        # first/last chunk open-ended: displacement can push feed order
+        # outside [0, n_events)
+        lo = i * cfg.n_events // n_chunks if i else -(10**9)
+        hi = (i + 1) * cfg.n_events // n_chunks if i < n_chunks - 1 else 10**9
+        # feed-order chunks ⇒ bounded out-of-order across chunk borders
+        chunk = ev.filter((F.col("_feed_order") >= lo) & (F.col("_feed_order") < hi)).drop("_feed_order")
+        ok_chunk, _ = split_dead_letters(chunk)
+        merge_upsert(t, ok_chunk, KEYS)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"]
+    got = t.read().select(*cols)
+    exp = current_state(ok).select(*cols)
+
+    def checksum(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+
+    g, e = checksum(got), checksum(exp)
+    assert (g.n, g.h) == (e.n, e.h) and g.n > 0
+    ev.unpersist()
+
+
+def test_schema_evolution_read_old_files(spark, tmpdir_path):
+    t = make_table(spark, os.path.join(tmpdir_path, "t6"))
+    df = spark.createDataFrame([("c1", 0, "user", "hi", None, None, 1, False)], TRANSCRIPT_SCHEMA)
+    t.append(df)
+    t.add_columns([T.StructField("meta", T.StringType(), True)])
+    out = t.read()
+    assert "meta" in out.columns
+    assert out.select("meta").collect()[0][0] is None  # old file → NULL
+
+    # new writes carry the column; old files still readable
+    df2 = spark.createDataFrame(
+        [("c2", 0, "user", "yo", None, None, 2, False, '{"client":"v2"}')], t.schema()
+    )
+    t.append(df2)
+    vals = {r.conv_id: r.meta for r in t.read().collect()}
+    assert vals == {"c1": None, "c2": '{"client":"v2"}'}
+
+
+def test_watermark_fencing_and_vacuum(spark, tmpdir_path):
+    t = make_table(spark, os.path.join(tmpdir_path, "t7"))
+    assert t.watermark("s1") == -1
+    b = spark.createDataFrame(
+        [(1, "insert", "c1", 0, "user", "hi", None, None)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    merge_upsert(t, b, KEYS, watermarks_update={"s1": 0})
+    assert t.watermark("s1") == 0
+    merge_upsert(t, b.withColumn("lsn", F.lit(2).cast("long")), KEYS, watermarks_update={"s1": 1})
+    assert t.watermark("s1") == 1
+
+    live = {f["path"] for f in t.files()}
+    removed = t.vacuum(keep_versions=1)
+    assert live & set(removed) == set()
+    assert t.read().count() == 1
