@@ -5,3 +5,10 @@ from odibel_spark.cdc.replay import (  # noqa: F401
     last_writer_wins,
     split_dead_letters,
 )
+from odibel_spark.cdc.evolution import (  # noqa: F401
+    discover_wal_schema,
+    normalize_batch,
+    normalize_role,
+    normalize_tool,
+)
+from odibel_spark.cdc.pipeline import PipelineConfig, TranscriptCdcPipeline  # noqa: F401

@@ -30,6 +30,7 @@ Injected hazards (all seeded by the config):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,24 +198,50 @@ def write_wal_files(
         F.lit(n_files - 1), F.floor(F.col("_feed_order") * n_files / F.lit(cfg.n_events))
     ).cast("int")
     df = df.withColumn("wal_chunk", F.greatest(F.lit(0), chunk))
-    marker_chunk = int(cfg.evolve_after * n_files)
+    # One file per chunk — a WAL segment is a single append-ordered file.
+    # Splitting a segment across part files breaks the tail's watermark
+    # contract: a sliver holding the segment's max event time, processed
+    # one micro-batch earlier, would mark the rest of the segment late.
+    df = df.repartition(n_files, "wal_chunk").sortWithinPartitions("wal_chunk", "_feed_order")
 
     os.makedirs(out_dir, exist_ok=True)
     writer = lambda d: d.write.mode("overwrite")  # noqa: E731
     if v1_schema_before_marker:
-        pre = df.filter(F.col("wal_chunk") < marker_chunk).drop("meta")
-        post = df.filter(F.col("wal_chunk") >= marker_chunk)
+        # generation membership follows the event's LSN (its producer
+        # version), not the chunk: pre-marker events have meta ≡ NULL,
+        # so dropping the column loses nothing
+        pre = df.filter(F.col("lsn") < cfg.evolve_lsn).drop("meta")
+        post = df.filter(F.col("lsn") >= cfg.evolve_lsn)
         getattr(
-            writer(pre.sortWithinPartitions("_feed_order").drop("_feed_order")).partitionBy("wal_chunk"),
+            writer(pre.drop("_feed_order")).partitionBy("wal_chunk"),
             fmt,
         )(os.path.join(out_dir, "v1"))
         getattr(
-            writer(post.sortWithinPartitions("_feed_order").drop("_feed_order")).partitionBy("wal_chunk"),
+            writer(post.drop("_feed_order")).partitionBy("wal_chunk"),
             fmt,
         )(os.path.join(out_dir, "v2"))
     else:
         getattr(
-            writer(df.sortWithinPartitions("_feed_order").drop("_feed_order")).partitionBy("wal_chunk"),
+            writer(df.drop("_feed_order")).partitionBy("wal_chunk"),
             fmt,
         )(out_dir)
+    _stamp_feed_mtimes(out_dir, n_files)
     return out_dir
+
+
+def _stamp_feed_mtimes(out_dir: str, n_files: int) -> None:
+    """Give each WAL chunk a monotonically increasing mtime (10 s apart,
+    v1 generation before v2). A real WAL tail produces files over time;
+    Spark's file source orders its listing by mtime, so without this a
+    bulk-written fixture replays in arbitrary file order — unbounded
+    disorder no watermark can cover."""
+    t0 = time.time() - (n_files + 2) * 10
+    for dirpath, _dirs, names in os.walk(out_dir):
+        base = os.path.basename(dirpath)
+        if not base.startswith("wal_chunk="):
+            continue
+        chunk = int(base.split("=", 1)[1])
+        gen_offset = 0.5 if f"{os.sep}v2{os.sep}" in dirpath + os.sep else 0.0
+        t = t0 + (chunk + gen_offset) * 10
+        for n in names:
+            os.utime(os.path.join(dirpath, n), (t, t))

@@ -1,0 +1,296 @@
+"""Structured Streaming CDC pipeline: WAL file tail → watermarked dedup
+→ epoch-fenced MERGE into a LakeTable, with dead-letter routing,
+per-partition lineage and throughput metrics.
+
+North-rule mechanics and where they live:
+
+- **tail a WAL-style change feed**  → ``readStream`` file source over
+  the WAL directory (ordered chunk files; a Kafka source would slot in
+  unchanged — foreachBatch sees the same micro-batch DataFrame).
+- **dedupe by (conv_id, turn_idx, lsn) with watermarked state** →
+  ``withWatermark("ts") .dropDuplicatesWithinWatermark`` on the stream
+  (bounded keyed state) plus the exact fold inside MERGE (belt and
+  braces: the in-stream dedup bounds state, the in-merge fold is the
+  correctness guarantee).
+- **exactly-once commits** → epoch fencing: the micro-batch id is
+  stamped into the lake commit's ``watermarks`` map atomically with
+  the data; a replayed batch (crash after commit, before checkpoint)
+  sees ``epoch <= watermark`` and is skipped. Reference gap this
+  fixes: blind ``overwrite`` sink (DBpediaTKGExtractionSpark.scala:44).
+- **resumable lineage** → per-epoch, per-bucket applied-LSN high-water
+  marks appended to a lineage LakeTable; throughput metrics rows per
+  batch (reference ThroughputMonitor/HeartbeatMonitor semantics,
+  utils/ThrougputMonitor.scala:5-23, log/HeartbeatMonitor.scala:11-71).
+- **failures never become deletes** → corrupt events split to a
+  dead-letter LakeTable before MERGE
+  (DBpediaTKGExtraction.scala:174-195 policy).
+- **schema evolution** → unified WAL schema discovered from file
+  footers; new payload columns promoted with ``table.add_columns``;
+  legacy enum variants normalized by Arrow-typed pandas UDFs
+  (cdc/evolution.py).
+- **skew** → MERGE repartitions by bucket of ``conv_id``; hot keys are
+  bounded by bucket granularity and AQE skew handling; the LWW fold is
+  a window over (conv_id, turn_idx) whose cardinality, not row skew,
+  drives partition sizes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from odibel_spark.cdc.evolution import diff_new_fields, discover_wal_schema, normalize_batch
+from odibel_spark.cdc.replay import EVENT_ID_COLS, KEY_COLS, split_dead_letters
+from odibel_spark.lake.merge import SYSTEM_FIELDS, cdc_table_schema, merge_upsert
+from odibel_spark.lake.table import BucketSpec, LakeTable
+
+#: WAL bookkeeping columns that never become table payload
+WAL_META_COLS = ("lsn", "op", "wal_chunk")
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("min_lsn", T.LongType(), True),
+        T.StructField("max_lsn", T.LongType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("stream_id", T.StringType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("n_dead", T.LongType(), True),
+        T.StructField("batch_seconds", T.DoubleType(), True),
+        T.StructField("events_per_sec", T.DoubleType(), True),
+        T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+
+@dataclass
+class PipelineConfig:
+    wal_dirs: list[str]
+    table_root: str
+    checkpoint_dir: str
+    stream_id: str = "wal"
+    buckets: int = 16
+    #: must exceed the feed's worst-case event-time disorder (WalConfig:
+    #: 2*ts_jitter_s + ooo_window = 124 s) with margin
+    watermark_delay: str = "300 seconds"
+    max_files_per_trigger: int | None = None
+    dedup_in_stream: bool = True
+    #: fault injection for crash tests: raise after the lake commit of
+    #: this epoch (exactly-once must survive it)
+    fail_after_commit_epoch: int | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class TranscriptCdcPipeline:
+    """One CDC stream → one transcript LakeTable (+ side tables)."""
+
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self.table_root = cfg.table_root
+        self.dead_root = cfg.table_root + "_deadletter"
+        self.lineage_root = cfg.table_root + "_lineage"
+        self.metrics_root = cfg.table_root + "_metrics"
+
+    # ------------------------------------------------------ DDL/bootstrap
+    def _payload_fields(self, wal_schema: T.StructType) -> list[T.StructField]:
+        return [f for f in wal_schema.fields if f.name not in WAL_META_COLS]
+
+    def ensure_tables(self) -> tuple[LakeTable, T.StructType]:
+        """Create/evolve the target + side tables from the current
+        unified WAL schema. Returns (table, wal_read_schema)."""
+        wal_schema = discover_wal_schema(self.spark, self.cfg.wal_dirs)
+        payload = self._payload_fields(wal_schema)
+        if not LakeTable.exists(self.spark, self.table_root):
+            LakeTable.create(
+                self.spark,
+                self.table_root,
+                cdc_table_schema(payload),
+                BucketSpec("conv_id", self.cfg.buckets),
+            )
+        table = LakeTable.load(self.spark, self.table_root)
+        new = diff_new_fields(table.schema(), wal_schema, ignore=(*WAL_META_COLS, *SYSTEM_FIELDS))
+        if new:
+            table.add_columns(new, summary={"source": "wal-schema-discovery"})
+        if not LakeTable.exists(self.spark, self.dead_root):
+            LakeTable.create(self.spark, self.dead_root, wal_schema)
+        else:
+            d = LakeTable.load(self.spark, self.dead_root)
+            dn = diff_new_fields(d.schema(), wal_schema)
+            if dn:
+                d.add_columns(dn)
+        if not LakeTable.exists(self.spark, self.lineage_root):
+            LakeTable.create(self.spark, self.lineage_root, LINEAGE_SCHEMA)
+        if not LakeTable.exists(self.spark, self.metrics_root):
+            LakeTable.create(self.spark, self.metrics_root, METRICS_SCHEMA)
+        return table, wal_schema
+
+    # --------------------------------------------------------- the sink
+    def _apply_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        t0 = time.time()
+        table = LakeTable.load(self.spark, self.table_root)
+        if epoch_id <= table.watermark(self.cfg.stream_id):
+            # crash happened after lake commit, before checkpoint commit:
+            # the batch replays — skip it (exactly-once fence), but make
+            # sure its side-table rows exist (they commit after the data).
+            # Drain the batch through the noop sink: Spark 4 validates
+            # that foreachBatch consumed every partition (the upstream
+            # dedup state stores must commit).
+            batch_df.write.format("noop").mode("overwrite").save()
+            self._ensure_side_rows(epoch_id)
+            return
+
+        batch_df = normalize_batch(batch_df)
+        ok, dead = split_dead_letters(batch_df)
+        ok = ok.cache()
+        try:
+            n_ok = ok.count()
+            n_dead = dead.count()
+            if n_dead:
+                dl = LakeTable.load(self.spark, self.dead_root)
+                keep = [f.name for f in dl.schema().fields if f.name in dead.columns]
+                missing = [f for f in dl.schema().fields if f.name not in dead.columns]
+                out = dead.select(*keep)
+                for f in missing:
+                    out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+                dl.append(
+                    out.select(*dl.schema().fieldNames()),
+                    summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id},
+                )
+            # per-bucket lineage BEFORE the commit so it rides this batch's
+            # numbers (appended after the fence commit below)
+            spec = table.bucket_spec()
+            lineage_rows = (
+                ok.withColumn("bucket", spec.expr())
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+
+            merge_upsert(
+                table,
+                ok,
+                KEY_COLS,
+                summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id, "n_events": n_ok},
+                watermarks_update={self.cfg.stream_id: epoch_id},
+            )
+            if self.cfg.fail_after_commit_epoch == epoch_id:
+                raise RuntimeError(f"fault-injection: crash after commit of epoch {epoch_id}")
+
+            self._append_side_rows(epoch_id, lineage_rows, n_ok, n_dead, time.time() - t0)
+        finally:
+            ok.unpersist()
+
+    def _append_side_rows(self, epoch_id, lineage_rows, n_ok, n_dead, secs) -> None:
+        now = F.current_timestamp()
+        lin = LakeTable.load(self.spark, self.lineage_root)
+        rows = [
+            (self.cfg.stream_id, epoch_id, r["bucket"], r["n_events"], r["min_lsn"], r["max_lsn"])
+            for r in lineage_rows
+        ] or [(self.cfg.stream_id, epoch_id, None, 0, None, None)]
+        lin_df = self.spark.createDataFrame(
+            rows, T.StructType(LINEAGE_SCHEMA.fields[:-1])
+        ).withColumn("committed_at", now)
+        lin.append(lin_df, summary={"epoch": epoch_id})
+        met = LakeTable.load(self.spark, self.metrics_root)
+        met_df = self.spark.createDataFrame(
+            [(self.cfg.stream_id, epoch_id, n_ok, n_dead, secs, (n_ok / secs) if secs > 0 else None)],
+            T.StructType(METRICS_SCHEMA.fields[:-1]),
+        ).withColumn("committed_at", now)
+        met.append(met_df, summary={"epoch": epoch_id})
+
+    def _ensure_side_rows(self, epoch_id: int) -> None:
+        """Idempotent catch-up when a batch replay was fenced: if the
+        crash hit between lake commit and side-table append, re-derive
+        the lineage for that epoch from the commit summary."""
+        lin = LakeTable.load(self.spark, self.lineage_root)
+        present = (
+            lin.read()
+            .filter((F.col("stream_id") == self.cfg.stream_id) & (F.col("epoch") == epoch_id))
+            .limit(1)
+            .count()
+        )
+        if present:
+            return
+        # find the fenced commit's summary for row counts
+        table = LakeTable.load(self.spark, self.table_root)
+        n_ok = 0
+        for man in reversed(table.history()):
+            s = man.get("summary", {})
+            if s.get("stream_id") == self.cfg.stream_id and s.get("epoch") == epoch_id:
+                n_ok = s.get("n_events", 0)
+                break
+        self._append_side_rows(epoch_id, [], n_ok, 0, 0.0)
+
+    # ---------------------------------------------------------- running
+    def _stream_reader(self, wal_schema: T.StructType) -> DataFrame:
+        reader = (
+            self.spark.readStream.schema(wal_schema)
+            .option("recursiveFileLookup", "true")
+        )
+        if self.cfg.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.cfg.max_files_per_trigger)
+        if len(self.cfg.wal_dirs) != 1:
+            # file source takes one path; for multi-generation WALs pass
+            # the parent dir (recursive lookup covers v1/v2 subtrees)
+            raise ValueError("file-stream WAL supports a single (recursive) directory; pass the parent dir")
+        stream = reader.parquet(self.cfg.wal_dirs[0])
+        if self.cfg.dedup_in_stream:
+            stream = stream.withWatermark("ts", self.cfg.watermark_delay).dropDuplicatesWithinWatermark(
+                EVENT_ID_COLS
+            )
+        return stream
+
+    def run_available(self) -> None:
+        """Process everything currently in the WAL, then stop
+        (Trigger.AvailableNow) — the batch-replay entry point used by
+        tests and the bench; identical code path to continuous runs."""
+        table, wal_schema = self.ensure_tables()
+        stream = self._stream_reader(wal_schema)
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def start(self):
+        """Continuous tail (micro-batches as WAL files appear)."""
+        table, wal_schema = self.ensure_tables()
+        stream = self._stream_reader(wal_schema)
+        return (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.cfg.checkpoint_dir)
+            .start()
+        )
+
+    # --------------------------------------------------------- accessors
+    def table(self) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_root)
+
+    def dead_letters(self) -> DataFrame:
+        return LakeTable.load(self.spark, self.dead_root).read()
+
+    def lineage(self) -> DataFrame:
+        return LakeTable.load(self.spark, self.lineage_root).read()
+
+    def metrics(self) -> DataFrame:
+        return LakeTable.load(self.spark, self.metrics_root).read()

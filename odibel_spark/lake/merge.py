@@ -36,7 +36,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from odibel_spark.cdc.replay import last_writer_wins
 from odibel_spark.lake.table import BucketSpec, LakeTable
 
 LSN_FIELD = "_lsn"
@@ -85,6 +84,10 @@ def merge_upsert(
     (e.g. the stream's min unapplied LSN minus the out-of-order bound)
     are dropped during the rewrite — free compaction riding the merge.
     """
+    # deferred: odibel_spark.cdc re-exports the pipeline, which imports
+    # this module (circular at package-init time)
+    from odibel_spark.cdc.replay import last_writer_wins
+
     spec = table.bucket_spec()
     if spec is None:
         raise ValueError("merge_upsert requires a bucketed table")

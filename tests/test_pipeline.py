@@ -1,0 +1,151 @@
+"""Structured Streaming pipeline: end-to-end, exactly-once under crash/
+restart, mid-stream schema evolution, dead-letters, lineage/metrics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from odibel_spark.cdc import (
+    PipelineConfig,
+    TranscriptCdcPipeline,
+    WalConfig,
+    current_state,
+    gen_events,
+    split_dead_letters,
+    write_wal_files,
+)
+
+CFG = WalConfig(n_events=15_000, n_convs=250, seed=13)
+PAYLOAD_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "meta", "_lsn"]
+
+
+def oracle_state(spark, wal_cfg):
+    ev = gen_events(spark, wal_cfg).drop("_feed_order")
+    ok, _ = split_dead_letters(ev)
+    return current_state(ok).join(
+        ev.select("lsn", "meta").dropDuplicates(["lsn"]), F.col("_lsn") == F.col("lsn"), "left"
+    ).drop("lsn")
+
+
+def checksum(df, cols):
+    return tuple(
+        df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64(*cols), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+    )
+
+
+@pytest.fixture(scope="module")
+def wal_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("walstream"))
+    write_wal_files(spark, CFG, d, n_files=10)
+    return d
+
+
+def run_pipeline(spark, wal_dir, base, **cfg_kw):
+    cfg = PipelineConfig(
+        wal_dirs=[wal_dir],
+        table_root=os.path.join(base, "transcripts"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        buckets=8,
+        **cfg_kw,
+    )
+    p = TranscriptCdcPipeline(spark, cfg)
+    p.run_available()
+    return p
+
+
+def test_stream_end_to_end(spark, wal_dir, tmpdir_path):
+    p = run_pipeline(spark, wal_dir, tmpdir_path, max_files_per_trigger=3)
+
+    got = p.table().read()
+    assert "meta" in got.columns  # schema evolution happened
+    exp = oracle_state(spark, CFG)
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+
+    # dead letters captured, never applied
+    assert p.dead_letters().count() > 0
+    assert got.filter(F.col("text").isNull()).count() == 0
+
+    # lineage: per-bucket HWMs per epoch; metrics: one row per non-empty epoch
+    lin = p.lineage()
+    assert lin.count() > 0
+    assert lin.groupBy("epoch", "bucket").count().filter("count > 1").count() == 0
+    met = p.metrics().orderBy("epoch")
+    assert met.count() >= 1
+    assert met.agg(F.sum("n_events")).collect()[0][0] > 0
+
+
+def test_exactly_once_under_crash_restart(spark, wal_dir, tmpdir_path):
+    # phase 1: crash right AFTER the lake commit of epoch 1 (worst case:
+    # lake state advanced, checkpoint not yet — batch will replay)
+    with pytest.raises(Exception):  # Spark wraps the injected RuntimeError
+        run_pipeline(
+            spark, wal_dir, tmpdir_path, max_files_per_trigger=2, fail_after_commit_epoch=1
+        )
+    # the crash hit after the lake commit: watermark already at epoch 1
+    from odibel_spark.lake import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(tmpdir_path, "transcripts"))
+    assert t.watermark("wal") == 1
+
+    # phase 2: restart without fault — replayed epoch must be fenced
+    p = run_pipeline(spark, wal_dir, tmpdir_path, max_files_per_trigger=2)
+
+    exp = oracle_state(spark, CFG)
+    got = p.table().read()
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+
+    # the fenced epoch appears exactly once in lineage and merge history
+    lin = p.lineage().filter(F.col("epoch") == 1)
+    assert lin.groupBy("bucket").count().filter("count > 1").count() == 0
+    merges_e1 = [
+        m
+        for m in p.table().history()
+        if m["summary"].get("epoch") == 1 and m["summary"].get("op", "merge") == "merge"
+    ]
+    assert len(merges_e1) == 1, "epoch 1 must be applied exactly once"
+
+
+def test_mid_stream_schema_evolution_restart(spark, tmpdir_path):
+    """Start on v1-only WAL (no meta), then v2 files appear; a restart
+    discovers and promotes the new column; old rows read as NULL."""
+    cfg = WalConfig(n_events=6_000, n_convs=100, seed=21)
+    wal_all = os.path.join(tmpdir_path, "wal")
+    write_wal_files(spark, cfg, wal_all, n_files=6)
+    staged = os.path.join(tmpdir_path, "staged")
+    os.makedirs(staged)
+    os.symlink(os.path.join(wal_all, "v1"), os.path.join(staged, "v1"))
+
+    base = tmpdir_path
+    p = run_pipeline(spark, staged, base)
+    assert "meta" not in [f.name for f in p.table().schema().fields]
+
+    # v2 generation lands; pipeline restarts (same checkpoint!)
+    os.symlink(os.path.join(wal_all, "v2"), os.path.join(staged, "v2"))
+    p = run_pipeline(spark, staged, base)
+    got = p.table().read()
+    assert "meta" in got.columns
+    assert got.filter(F.col("meta").isNotNull()).count() > 0
+
+    exp = oracle_state(spark, cfg)
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+
+
+def test_normalizer_promotes_legacy_variants(spark):
+    from odibel_spark.cdc import normalize_batch
+
+    df = spark.createDataFrame(
+        [("Human", " CALC "), ("ai", "web_search"), ("tool", None), (None, "python")],
+        "role string, tool string",
+    )
+    out = normalize_batch(df).collect()
+    assert [r.role for r in out] == ["user", "assistant", "tool", None]
+    assert [r.tool for r in out] == ["calculator", "search", None, "code_interpreter"]
