@@ -1,38 +1,765 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC query at sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 +
+                  training-data ops); each callable (spark, sf_dir) →
+                  DataFrame.
+``oracle_sql()``— DuckDB-runnable ANSI SQL equivalents over the
+                  pre-registered views (region nation customer supplier
+                  part orders lineitem events documents embeddings).
+                  Omitted for genuinely non-SQL ops (streaming CDC
+                  pipeline, mapInPandas multimodal plumbing) — the
+                  driver records rows-only checks for those.
+
+Determinism rules shared by both sides: md5-derived hashing (identical
+hex in Spark/DuckDB), decimal-cast sums (no float ordering drift),
+round(…, 6) on derived doubles, explicit tie-breaks on every top-k.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from odibel_spark.functions import dedup as D
+from odibel_spark.functions import similarity as S
+from odibel_spark.functions import text as X
+from odibel_spark.operators import diff as ODiff
+from odibel_spark.operators import relational as R
+from odibel_spark.operators import temporal as TP
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# fixed analysis timestamps (events span 2024 from 2024-01-01)
+T1 = 1704412800  # 2024-01-05 00:00:00 UTC
+T2 = 1705276800  # 2024-01-15 00:00:00 UTC
+
+EVENT_KEY = ["user_id", "event_type"]
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table treated as a change feed keyed by
+    (user_id, event_type), versioned by event_id (≙ LSN), event time
+    in epoch seconds — the batch twin of the reference's
+    TemporalWindowBuilder state machine."""
+    ev = _t(spark, sf_dir, "events").withColumn("t_sec", F.unix_timestamp(F.col("ts")))
+    return TP.build_temporal_windows(
+        ev, EVENT_KEY, version_col="event_id", ts_col="t_sec", value_cols=["value"]
+    )
+
+
+# --------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins fold of the event feed into its
+    current state + per-key change counts (reference semantics:
+    TemporalWindowBuilder replay + PropertyEval change stats)."""
+    from odibel_spark.cdc.replay import last_writer_wins
+
+    ev = _t(spark, SF_DEFAULT, "events")
+    winners = last_writer_wins(ev, EVENT_KEY, "event_id")
+    changes = ev.groupBy(*EVENT_KEY).agg((F.count("*") - 1).alias("n_changes"))
+    return winners.select(*EVENT_KEY, "value", F.col("event_id").alias("applied_lsn")).join(
+        changes, EVENT_KEY
+    )
+
+
+# -------------------------------------------------------------- queries
+def q_cdc_last_writer_wins(spark, sf_dir):
+    from odibel_spark.cdc.replay import last_writer_wins
+
+    ev = _t(spark, sf_dir, "events")
+    w = last_writer_wins(ev, EVENT_KEY, "event_id")
+    return w.select(
+        "user_id", "event_type", F.round("value", 6).alias("value"), F.col("event_id").alias("applied_lsn")
+    )
+
+
+def q_cdc_temporal_windows(spark, sf_dir):
+    w = _event_windows(spark, sf_dir)
+    return w.select(
+        "user_id", "event_type", F.round("value", 6).alias("value"),
+        "v_start", "v_end", "t_start", "t_end",
+    )
+
+
+def q_cdc_snapshot_at(spark, sf_dir):
+    w = TP.snapshot_at(_event_windows(spark, sf_dir), T2)
+    return w.select("user_id", "event_type", F.round("value", 6).alias("value"), "v_start")
+
+
+def q_cdc_change_flux(spark, sf_dir):
+    return TP.change_flux(_event_windows(spark, sf_dir), bucket_s=86400)
+
+
+def q_cdc_changes_per_key(spark, sf_dir):
+    return TP.changes_per_key(_event_windows(spark, sf_dir), EVENT_KEY)
+
+
+def q_cdc_duration_histogram(spark, sf_dir):
+    return TP.duration_histogram(_event_windows(spark, sf_dir), unit_s=86400)
+
+
+def q_cdc_snapshot_diff(spark, sf_dir):
+    w = _event_windows(spark, sf_dir)
+    snap_a = TP.snapshot_at(w, T1).select(*EVENT_KEY, F.round("value", 6).alias("value"))
+    snap_b = TP.snapshot_at(w, T2).select(*EVENT_KEY, F.round("value", 6).alias("value"))
+    return ODiff.snapshot_diff(snap_b, snap_a, EVENT_KEY, ["value"])
+
+
+def q_cdc_snapshot_stats(spark, sf_dir):
+    return TP.snapshot_statistics(_event_windows(spark, sf_dir), T1, T2)
+
+
+def q_agg_time_buckets(spark, sf_dir):
+    return TP.time_bucketed_counts(_t(spark, sf_dir, "events"), "ts", "day")
+
+
+def q_agg_value_stats(spark, sf_dir):
+    return TP.value_distribution_stats(_t(spark, sf_dir, "events"), ["event_type"], "value")
+
+
+def q_top_k_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    return R.top_k_per_group(ev, ["event_type"], k=3, seed=42, id_cols=["event_id"])
+
+
+def q_seeded_sample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return R.seeded_sample(ev, 50, seed=7, id_cols=["event_id"])
+
+
+def q_degree_distribution(spark, sf_dir):
+    return R.degree_distribution(_t(spark, sf_dir, "events"), "user_id")
+
+
+def q_min_per_group_reagg(spark, sf_dir):
+    return R.min_per_group_reagg(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", lambda c: F.date_format(c, "yyyy-MM-dd")
+    )
+
+
+def q_predicate_prefix_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    keep = R.predicate_filter_expr("event_type", ["sign*", "error"])
+    return ev.filter(keep).groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_semi_join_filter(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    kept = orders.join(F.broadcast(rich.select(F.col("c_custkey").alias("o_custkey")).distinct()), "o_custkey", "left_semi")
+    return kept.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    silent = cust.join(big.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    return silent.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_star_join_topk(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), "n_name").limit(5)
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_ref_integrity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big_parts = _t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    kept = R.referential_integrity_filter(
+        li, big_parts, fk="l_partkey", pk="p_partkey", exempt=F.col("l_quantity") < 5
+    )
+    return kept.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+# ----- text analysis --------------------------------------------------
+def q_text_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.punct_ratio(F.col("text")).alias("punct_ratio"),
+        X.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        X.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_language_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.document_fingerprint(F.col("text")).alias("fp"))
+
+
+# ----- dedup ----------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # fingerprint the first 5 tokens: forces collision groups on this
+    # synthetic corpus so the operator's group/canonical logic is
+    # exercised (full-text exact dups are rare by construction)
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5))
+    d5 = d.select("doc_id", prefix.alias("text"))
+    return D.exact_duplicates(d5, "doc_id", "text")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.08)
+
+
+def q_dedup_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text", n=2, k=8)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(d, "doc_id", "text", n=2, k=8, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, "doc_id", "text", bits=16)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return D.embedding_near_duplicates(e, "vec_id", "embedding", threshold=0.55)
+
+
+# ----- similarity search ---------------------------------------------
+_QUERY_VEC_ID = 0
+
+
+def _query_vec(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    row = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select("embedding").first()
+    return [float(x) for x in row[0]]
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return S.cosine_top_k(e, _query_vec(spark, sf_dir), "vec_id", "embedding", k=10)
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return S.ivf_top_k(e, _query_vec(spark, sf_dir), "vec_id", "embedding", "label", k=10, nprobe=2)
+
+
+# ----- engine-native (no SQL oracle: rows-only driver check) ----------
+def q_transcript_cdc_replay(spark, sf_dir):
+    """The actual CDC engine end-to-end in batch-over-stream mode:
+    deterministic WAL → streaming pipeline (epoch-fenced MERGE into the
+    lake format) → final transcript table."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline, WalConfig, write_wal_files
+
+    cfg = WalConfig(n_events=4000, n_convs=60, seed=17)
+    base = tempfile.mkdtemp(prefix="odibel-entry-")
+    wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=4)
+    p = TranscriptCdcPipeline(
+        spark,
+        PipelineConfig(
+            wal_dirs=[wal],
+            table_root=os.path.join(base, "transcripts"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            buckets=8,
+        ),
+    )
+    p.run_available()
+    return p.table().read().orderBy("conv_id", "turn_idx")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + Arrow mapInPandas
+    feature extraction (decode stubbed — no codecs in image)."""
+    from odibel_spark.functions.multimodal import attach_fake_media, extract_media_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    media = attach_fake_media(d, "doc_id")
+    return extract_media_features(media, "doc_id", decode="fake")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_last_writer_wins": q_cdc_last_writer_wins,
+        "cdc_temporal_windows": q_cdc_temporal_windows,
+        "cdc_snapshot_at": q_cdc_snapshot_at,
+        "cdc_change_flux": q_cdc_change_flux,
+        "cdc_changes_per_key": q_cdc_changes_per_key,
+        "cdc_duration_histogram": q_cdc_duration_histogram,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
+        "cdc_snapshot_stats": q_cdc_snapshot_stats,
+        "agg_time_buckets": q_agg_time_buckets,
+        "agg_value_stats": q_agg_value_stats,
+        "top_k_per_group": q_top_k_per_group,
+        "seeded_sample": q_seeded_sample,
+        "degree_distribution": q_degree_distribution,
+        "min_per_group_reagg": q_min_per_group_reagg,
+        "predicate_prefix_filter": q_predicate_prefix_filter,
+        "semi_join_filter": q_semi_join_filter,
+        "anti_join": q_anti_join,
+        "star_join_topk": q_star_join_topk,
+        "tpch_q1": q_tpch_q1,
+        "ref_integrity": q_ref_integrity,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_language_id": q_text_language_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_signatures": q_dedup_minhash_signatures,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "sim_cosine_topk": q_sim_cosine_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "transcript_cdc_replay": q_transcript_cdc_replay,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ============================ oracle SQL ==============================
+
+_EPOCH = "CAST(floor(epoch_us(ts)/1000000) AS BIGINT)"
+_OPEN_END = str(2**63 - 1)
+
+_WINDOWS_CTE = f"""
+windows AS (
+    SELECT user_id, event_type, round(value, 6) AS value,
+           CAST(event_id AS BIGINT) AS v_start,
+           LEAD(CAST(event_id AS BIGINT)) OVER w AS v_end,
+           {_EPOCH} AS t_start,
+           COALESCE(LEAD({_EPOCH}) OVER w, {_OPEN_END}) AS t_end
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type ORDER BY event_id)
+)
+"""
+
+_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+_NORM_TEXT = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"
+)
+_STR_HASH = "CAST(('0x' || substring(md5({x}), 1, 8)) AS BIGINT)"
+
+_EN = "['the','and','of','to','a','in','is','that','it','for']"
+_LANG_LISTS = {
+    "de": "['der','die','und','das','von','zu','mit','den','ist','im']",
+    "en": _EN,
+    "es": "['el','la','de','que','y','en','un','los','se','por']",
+    "fr": "['le','la','de','et','les','des','en','un','du','que']",
+}
+
+
+def _shingles_cte(n: int) -> str:
+    """Distinct word n-gram shingles per doc (mirrors dedup.word_shingles)."""
+    return f"""
+shingles AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+        FROM (SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS toks FROM documents)
+    ) WHERE length(shingle) > 0
+)
+"""
+
+
+def _minhash_sql(n: int, k: int) -> str:
+    h = _STR_HASH.format(x="shingle")
+    aggs = ",\n           ".join(
+        f"min(({h} * {2 * i + 1} + {7919 * (i + 1)}) % 2147483647) AS mh{i}" for i in range(k)
+    )
+    return f"WITH {_shingles_cte(n)} SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id"
+
+
+def _minhash_lsh_sql(n: int, k: int, bands: int) -> str:
+    rows = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sig AS ({_minhash_sql(n, k)}),
+buckets AS ({buckets})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _simhash_sql(bits: int) -> str:
+    h = _STR_HASH.format(x="tok")
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN (({h} >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    assemble = " + ".join(f"(CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END)" for b in range(bits))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex({_NORM_TEXT}, '\\s+')) AS tok FROM documents
+), filtered AS (SELECT * FROM toks WHERE length(tok) > 0),
+sums AS (SELECT doc_id, {bit_sums} FROM filtered GROUP BY doc_id)
+SELECT doc_id, {assemble} AS simhash FROM sums
+"""
+
+
+def _jaccard_sql(n: int, threshold: float, candidates_cte: str | None = None) -> str:
+    cand_join = (
+        "JOIN candidates c ON c.id_a = a.doc_id AND c.id_b = b.doc_id" if candidates_cte else ""
+    )
+    cand_with = f", candidates AS ({candidates_cte})" if candidates_cte else ""
+    return f"""
+WITH {_shingles_cte(n)}{cand_with},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    {cand_join}
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= {threshold}
+"""
+
+
+def _lang_id_sql() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, len(list_filter({_TOKENS}, x -> list_contains({lst}, x))) AS hits FROM documents"
+        for lang, lst in _LANG_LISTS.items()
+    )
+    return f"""
+WITH scores AS ({unions}),
+ranked AS (
+    SELECT doc_id, lang, hits,
+           row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+    FROM scores
+)
+SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM ranked WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["cdc_last_writer_wins"] = """
+WITH ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) rn
+    FROM (SELECT DISTINCT user_id, event_type, event_id, value FROM events)
+)
+SELECT user_id, event_type, round(value, 6) AS value, event_id AS applied_lsn
+FROM ranked WHERE rn = 1
+"""
+
+    sql["cdc_temporal_windows"] = f"WITH {_WINDOWS_CTE.strip()} SELECT * FROM windows"
+
+    sql["cdc_snapshot_at"] = f"""
+WITH {_WINDOWS_CTE.strip()}
+SELECT user_id, event_type, value, v_start FROM windows
+WHERE t_start <= {T2} AND {T2} < t_end
+"""
+
+    sql["cdc_change_flux"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+marks AS (
+    SELECT CAST(floor(t_start / 86400) * 86400 AS BIGINT) AS bucket, 1 AS kind FROM windows
+    UNION ALL
+    SELECT CAST(floor(t_end / 86400) * 86400 AS BIGINT) AS bucket, -1 AS kind FROM windows
+    WHERE t_end <> {_OPEN_END}
+)
+SELECT bucket,
+       sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN kind = -1 THEN 1 ELSE 0 END) AS n_close
+FROM marks GROUP BY bucket
+"""
+
+    sql["cdc_changes_per_key"] = f"""
+WITH {_WINDOWS_CTE.strip()}
+SELECT user_id, event_type, count(DISTINCT (v_start, t_start)) - 1 AS n_changes
+FROM windows GROUP BY user_id, event_type
+"""
+
+    sql["cdc_duration_histogram"] = f"""
+WITH {_WINDOWS_CTE.strip()}
+SELECT CAST(floor((t_end - t_start) / 86400) AS BIGINT) AS duration_units,
+       count(*) AS n_windows
+FROM windows WHERE t_end <> {_OPEN_END}
+GROUP BY 1
+"""
+
+    sql["cdc_snapshot_diff"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+snap_a AS (SELECT user_id, event_type, value FROM windows WHERE t_start <= {T1} AND {T1} < t_end),
+snap_b AS (SELECT user_id, event_type, value FROM windows WHERE t_start <= {T2} AND {T2} < t_end)
+SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+       COALESCE(b.event_type, a.event_type) AS event_type,
+       CASE WHEN a.user_id IS NULL THEN 1 WHEN b.user_id IS NULL THEN -1 ELSE 0 END AS diff,
+       CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+            THEN NOT (b.value = a.value OR (b.value IS NULL AND a.value IS NULL))
+       END AS changed
+FROM snap_b b FULL OUTER JOIN snap_a a USING (user_id, event_type)
+"""
+
+    sql["cdc_snapshot_stats"] = f"""
+WITH {_WINDOWS_CTE.strip()}
+SELECT count(*) AS n_windows,
+       sum(CASE WHEN t_start <= {T1} AND {T1} < t_end THEN 1 ELSE 0 END) AS first_size,
+       sum(CASE WHEN t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS last_size,
+       sum(CASE WHEN t_start <= {T1} AND {T1} < t_end AND t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS static_core,
+       sum(CASE WHEN t_start > {T1} THEN 1 ELSE 0 END) AS n_added,
+       sum(CASE WHEN t_end <> {_OPEN_END} THEN 1 ELSE 0 END) AS n_closed
+FROM windows
+"""
+
+    sql["agg_time_buckets"] = """
+SELECT strftime(ts, '%Y-%m-%d') AS bucket, count(*) AS n FROM events GROUP BY 1
+"""
+
+    sql["agg_value_stats"] = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 6) AS avg_v,
+       round(stddev_samp(value), 6) AS stddev_v,
+       min(value) AS min_v, max(value) AS max_v,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+    sql["top_k_per_group"] = """
+WITH ranked AS (
+    SELECT event_id, user_id, event_type, value,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('42' || chr(31) || CAST(event_id AS VARCHAR))
+           ) AS rn
+    FROM events
+)
+SELECT event_id, user_id, event_type, value FROM ranked WHERE rn <= 3
+"""
+
+    sql["seeded_sample"] = """
+SELECT event_id, event_type, value FROM events
+ORDER BY md5('7' || chr(31) || CAST(event_id AS VARCHAR))
+LIMIT 50
+"""
+
+    sql["degree_distribution"] = """
+WITH deg AS (SELECT user_id, count(*) AS degree FROM events GROUP BY user_id)
+SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+"""
+
+    sql["min_per_group_reagg"] = """
+WITH firsts AS (SELECT user_id, min(ts) AS first_value FROM events GROUP BY user_id)
+SELECT strftime(first_value, '%Y-%m-%d') AS bucket, count(*) AS n FROM firsts GROUP BY 1
+"""
+
+    sql["predicate_prefix_filter"] = """
+SELECT event_type, count(*) AS n FROM events
+WHERE event_type LIKE 'sign%' OR event_type = 'error'
+GROUP BY event_type
+"""
+
+    sql["semi_join_filter"] = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority
+"""
+
+    sql["anti_join"] = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+"""
+
+    sql["star_join_topk"] = """
+SELECT n_name,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+LIMIT 5
+"""
+
+    sql["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+    sql["ref_integrity"] = """
+WITH kept AS (
+    SELECT DISTINCT * FROM (
+        SELECT * FROM lineitem WHERE l_quantity < 5
+        UNION ALL
+        SELECT * FROM lineitem
+        WHERE l_quantity >= 5
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+    )
+)
+SELECT l_returnflag, count(*) AS n FROM kept GROUP BY l_returnflag
+"""
+
+    sql["text_token_stats"] = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\\w\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_actual
+FROM documents
+"""
+
+    sql["text_quality"] = f"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(len(list_filter({_TOKENS}, x -> list_contains({_EN}, x))) / greatest(len({_TOKENS}), 1), 6) AS stopword_ratio,
+       round((
+           least(length(trim(text)) / 400.0, 1.0)
+           + (1.0 - least(round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / greatest(length(text), 1), 6) * 4, 1.0))
+           + least(round(len(list_filter({_TOKENS}, x -> list_contains({_EN}, x))) / greatest(len({_TOKENS}), 1), 6) * 5, 1.0)
+       ) / 3, 6) AS quality
+FROM documents
+"""
+
+    sql["text_language_id"] = _lang_id_sql()
+
+    sql["text_fingerprint"] = f"SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents"
+
+    sql["dedup_exact"] = r"""
+WITH d5 AS (
+    SELECT doc_id,
+           array_to_string((string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ') AS text
+    FROM documents
+), fp AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+    FROM d5
+)
+SELECT fp, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM fp GROUP BY fp HAVING count(*) > 1
+"""
+
+    sql["dedup_ngram_jaccard"] = _jaccard_sql(2, 0.08)
+    sql["dedup_minhash_signatures"] = _minhash_sql(2, 8)
+    sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
+    sql["dedup_simhash"] = _simhash_sql(16)
+
+    sql["dedup_embedding_cosine"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.55
+"""
+
+    _cos_q = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    sql["sim_cosine_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT e.vec_id, round({_cos_q}, 6) AS cosine
+FROM embeddings e, q
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+    sql["sim_ivf_topk"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+dims AS (
+    SELECT label, dim, avg(x) AS m FROM (
+        SELECT label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ) GROUP BY label, dim
+),
+cents AS (
+    SELECT label, list(m ORDER BY dim) AS centroid FROM dims GROUP BY label
+),
+probe AS (
+    SELECT label FROM cents, q
+    ORDER BY list_dot_product(centroid, q.qv) / (sqrt(list_dot_product(centroid, centroid)) * sqrt(list_dot_product(q.qv, q.qv))) DESC, label
+    LIMIT 2
+)
+SELECT e.vec_id, round({_cos_q}, 6) AS cosine
+FROM embeddings e, q
+WHERE e.label IN (SELECT label FROM probe)
+ORDER BY cosine DESC, e.vec_id
+LIMIT 10
+"""
+
+    return sql

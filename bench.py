@@ -1,0 +1,120 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: sustained change-events/sec of the CDC replay path
+(the BASELINE.json north rule), measured two ways:
+- ``batch``   : pure last-writer-wins fold (compute-bound ceiling)
+- ``pipeline``: full streaming engine — WAL tail → watermarked dedup →
+                epoch-fenced MERGE into the lake format (the real
+                end-to-end number)
+
+plus per-query wall times for the analytics headliners at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``.
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+``tools/scaling_bench.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+
+ANALYTICS = [
+    "cdc_last_writer_wins",
+    "cdc_temporal_windows",
+    "cdc_change_flux",
+    "agg_value_stats",
+    "tpch_q1",
+    "star_join_topk",
+    "text_quality",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from odibel_spark import get_spark
+    from odibel_spark.cdc import (
+        PipelineConfig,
+        TranscriptCdcPipeline,
+        WalConfig,
+        current_state,
+        split_dead_letters,
+        write_wal_files,
+    )
+
+    spark = get_spark("odibel-bench", cpus=CPUS, shuffle_partitions=CPUS * 2)
+    t_all = time.time()
+    queries: dict[str, float] = {}
+
+    # ---- analytics headliners at SF_DIR ------------------------------
+    qs = E.queries()
+    for name in ANALYTICS:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    # ---- CDC replay throughput ---------------------------------------
+    base = tempfile.mkdtemp(prefix="odibel-bench-")
+    try:
+        cfg = WalConfig(n_events=N_EVENTS, n_convs=max(N_EVENTS // 50, 100), seed=42)
+        n_files = max(8, CPUS // 2)
+        wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=n_files)
+
+        t0 = time.time()
+        ev = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(wal)
+        ok, _dead = split_dead_letters(ev.drop("wal_chunk"))
+        materialize(current_state(ok))
+        batch_s = time.time() - t0
+        queries["cdc_replay_batch"] = round(batch_s, 3)
+
+        t0 = time.time()
+        p = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal],
+                table_root=os.path.join(base, "transcripts"),
+                checkpoint_dir=os.path.join(base, "ckpt"),
+                buckets=CPUS,
+            ),
+        )
+        p.run_available()
+        pipe_s = time.time() - t0
+        queries["cdc_merge_pipeline"] = round(pipe_s, 3)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+    total = round(time.time() - t_all, 3)
+    out = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cdc_events": N_EVENTS,
+        "cdc_batch_events_per_sec": round(N_EVENTS / batch_s, 1),
+        "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,6 +91,11 @@ class PipelineConfig:
     #: fault injection for crash tests: raise after the lake commit of
     #: this epoch (exactly-once must survive it)
     fail_after_commit_epoch: int | None = None
+    #: LSN slack for riding tombstone GC: tombstones older than
+    #: (stream max-applied LSN − slack) can no longer be contradicted
+    #: by any in-flight out-of-order event, so the merge drops them
+    #: for free. None = keep tombstones forever.
+    tombstone_gc_lsn_slack: int | None = 100_000
     extra: dict = field(default_factory=dict)
 
 
@@ -153,50 +158,69 @@ class TranscriptCdcPipeline:
             self._ensure_side_rows(epoch_id)
             return
 
-        batch_df = normalize_batch(batch_df)
-        ok, dead = split_dead_letters(batch_df)
-        ok = ok.cache()
+        from odibel_spark.cdc.replay import dead_letter_predicate
+
+        spec = table.bucket_spec()
+        # One materialization of the micro-batch (pins the stream-dedup
+        # output — every derived job below reuses the cache instead of
+        # re-executing the source scan + state-store plan), and ONE
+        # stats pass yielding dead-letter counts, per-bucket lineage,
+        # and the touched-bucket set for merge pruning.
+        flagged = (
+            normalize_batch(batch_df)
+            .withColumn("_dead", dead_letter_predicate())
+            .withColumn("_b", spec.expr())
+            .cache()
+        )
         try:
-            n_ok = ok.count()
-            n_dead = dead.count()
-            if n_dead:
-                dl = LakeTable.load(self.spark, self.dead_root)
-                keep = [f.name for f in dl.schema().fields if f.name in dead.columns]
-                missing = [f for f in dl.schema().fields if f.name not in dead.columns]
-                out = dead.select(*keep)
-                for f in missing:
-                    out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
-                dl.append(
-                    out.select(*dl.schema().fieldNames()),
-                    summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id},
-                )
-            # per-bucket lineage BEFORE the commit so it rides this batch's
-            # numbers (appended after the fence commit below)
-            spec = table.bucket_spec()
-            lineage_rows = (
-                ok.withColumn("bucket", spec.expr())
-                .groupBy("bucket")
+            stats = (
+                flagged.groupBy("_dead", "_b")
                 .agg(
-                    F.count("*").alias("n_events"),
+                    F.count("*").alias("n"),
                     F.min("lsn").alias("min_lsn"),
                     F.max("lsn").alias("max_lsn"),
                 )
                 .collect()
             )
+            n_ok = sum(r["n"] for r in stats if not r["_dead"])
+            n_dead = sum(r["n"] for r in stats if r["_dead"])
+            touched = {r["_b"] for r in stats if not r["_dead"]}
+            lineage_rows = [
+                {"bucket": r["_b"], "n_events": r["n"], "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"]}
+                for r in stats
+                if not r["_dead"]
+            ]
 
+            if n_dead:
+                dl = LakeTable.load(self.spark, self.dead_root)
+                dead = flagged.filter(F.col("_dead")).drop("_dead", "_b")
+                out = dead.select(
+                    *[
+                        (F.col(f.name) if f.name in dead.columns else F.lit(None).cast(f.dataType)).alias(f.name)
+                        for f in dl.schema().fields
+                    ]
+                )
+                dl.append(out, summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id})
+
+            gc_below = None
+            if self.cfg.tombstone_gc_lsn_slack is not None and lineage_rows:
+                hwm = max(r["max_lsn"] for r in lineage_rows)
+                gc_below = max(hwm - self.cfg.tombstone_gc_lsn_slack, 0)
             merge_upsert(
                 table,
-                ok,
+                flagged.filter(~F.col("_dead")).drop("_dead", "_b"),
                 KEY_COLS,
                 summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id, "n_events": n_ok},
                 watermarks_update={self.cfg.stream_id: epoch_id},
+                touched_buckets=touched,
+                tombstone_gc_below_lsn=gc_below,
             )
             if self.cfg.fail_after_commit_epoch == epoch_id:
                 raise RuntimeError(f"fault-injection: crash after commit of epoch {epoch_id}")
 
             self._append_side_rows(epoch_id, lineage_rows, n_ok, n_dead, time.time() - t0)
         finally:
-            ok.unpersist()
+            flagged.unpersist()
 
     def _append_side_rows(self, epoch_id, lineage_rows, n_ok, n_dead, secs) -> None:
         now = F.current_timestamp()

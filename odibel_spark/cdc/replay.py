@@ -28,23 +28,24 @@ EVENT_ID_COLS = ["conv_id", "turn_idx", "lsn"]
 PAYLOAD_COLS = ["role", "text", "tool", "ts"]
 
 
-def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Separate poison events from applicable ones.
-
-    Reference policy: a failed/corrupt event must produce *no state
-    change* — in particular it must never be folded into a delete
-    (DBpediaTKGExtraction.scala:174-195, "return None instead of empty
-    String to not remove triples later"). Poison = unknown op, null key
-    parts, or non-delete with a null payload.
-    """
-    bad = (
+def dead_letter_predicate() -> F.Column:
+    """Poison-event predicate. Reference policy: a failed/corrupt event
+    must produce *no state change* — in particular it must never be
+    folded into a delete (DBpediaTKGExtraction.scala:174-195, "return
+    None instead of empty String to not remove triples later").
+    Poison = unknown op, null key parts, or non-delete null payload."""
+    return (
         ~F.col("op").isin(*EVENT_OPS)
         | F.col("conv_id").isNull()
         | F.col("turn_idx").isNull()
         | F.col("lsn").isNull()
         | ((F.col("op") != "delete") & F.col("text").isNull())
     )
-    flagged = events.withColumn("_dead", bad)
+
+
+def split_dead_letters(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(applicable events, dead letters) — see dead_letter_predicate."""
+    flagged = events.withColumn("_dead", dead_letter_predicate())
     return (
         flagged.filter(~F.col("_dead")).drop("_dead"),
         flagged.filter(F.col("_dead")).drop("_dead"),

@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data pipelines: exact,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- exact dedup is a fingerprint groupBy — one shuffle on the hash;
+- n-gram Jaccard self-join explodes shingles and joins on the shingle
+  — correct but quadratic in cluster size; it is the *verification*
+  stage, not the candidate generator;
+- MinHash+LSH is the scale path: K hash signature per doc (one
+  groupBy), banded bucket join (one shuffle on (band, key)) produces
+  candidates ∝ near-duplicates, then exact Jaccard verifies only the
+  candidates;
+- SimHash gives a single 32-bit sketch whose Hamming distance bounds
+  cosine similarity of the token sets — groupBy + bit arithmetic only;
+- embedding near-dup composes with functions/similarity.py.
+
+Everything is Column expressions (md5-derived integer hashing so the
+DuckDB oracle reproduces values exactly; swap md5 → xxhash64 for
+production throughput).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from odibel_spark.functions.text import document_fingerprint, normalized_text
+
+#: MinHash parameters — universal hashing h_i(x) = (a_i*x + b_i) mod P
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
+MINHASH_K = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+
+def _str_hash(col) -> F.Column:
+    """Deterministic 32-bit-ish integer hash of a string, reproducible
+    in any engine with md5: first 8 hex chars as int."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint +
+    per-group size and canonical (min) id. Output rows only for groups
+    with >1 member."""
+    fp = docs.select(F.col(id_col), document_fingerprint(F.col(text_col)).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(normalized_text(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        docs.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    Shuffle shape: explode → join on shingle (co-partitioned) → count
+    per pair → join per-doc sizes. Quadratic only within identical-
+    shingle clusters; use minhash_lsh_candidates upstream at scale.
+    """
+    sh = word_shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """K-permutation MinHash: sig_i = min over shingles of
+    (a_i*h + b_i) mod P, h = md5-derived shingle hash. One explode +
+    one groupBy — the signature table is K longs per document."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    h = _str_hash(F.col("shingle"))
+    aggs = []
+    for i in range(k):
+        a_i, b_i = 2 * i + 1, 7919 * (i + 1)
+        aggs.append(F.min((h * a_i + b_i) % MINHASH_P).alias(f"mh{i}"))
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """LSH banding: split the K-signature into ``bands`` bands of
+    k/bands rows; documents sharing any full band become candidate
+    pairs (id_a < id_b, distinct). The band join is the only shuffle
+    that touches pairs, and it only materializes colliding ones."""
+    sig = minhash_signatures(docs, id_col, text_col, n, k)
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        l.join(r, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Scale-path near-dup: LSH candidates → exact Jaccard verification
+    restricted to candidates (semi-join pushes the filter into the
+    shingle join)."""
+    cand = minhash_lsh_candidates(docs, id_col, text_col, n)
+    sh = word_shingles(docs, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """Per-document SimHash sketch: sign-sum of token-hash bits.
+    Output (id, simhash long). Hamming distance between sketches
+    approximates token-multiset cosine distance."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(normalized_text(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = _str_hash(F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sketch = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sketch = term if sketch is None else sketch + term
+    return agg.select(F.col(id_col), sketch.alias("simhash"))
+
+
+def embedding_near_duplicates(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ t).
+    Brute-force all-pairs — the verification-grade baseline; compose
+    with similarity.ivf_top_k bucketing for the candidate stage at
+    scale. Cosine via zip_with/aggregate, fully JVM-side."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return (
+        pairs.withColumn("cosine", F.round(dot / (na * nb), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -71,6 +71,7 @@ def merge_upsert(
     summary: dict | None = None,
     watermarks_update: dict | None = None,
     tombstone_gc_below_lsn: int | None = None,
+    touched_buckets: set[int] | None = None,
 ) -> dict:
     """Apply a CDC batch to the table; returns the committed manifest.
 
@@ -100,8 +101,14 @@ def merge_upsert(
     winners = last_writer_wins(source, key_cols, lsn_col) if fold else source
     winners = winners.withColumn("_sb", spec.expr())
 
-    # Which copy-on-write units does this batch touch? (≤ n_buckets ints)
-    touched = {r[0] for r in winners.select("_sb").distinct().collect()}
+    # Which copy-on-write units does this batch touch? (≤ n_buckets
+    # ints; callers that already computed batch statistics pass them
+    # in to save the extra job)
+    touched = (
+        set(touched_buckets)
+        if touched_buckets is not None
+        else {r[0] for r in winners.select("_sb").distinct().collect()}
+    )
     if not touched:
         return table.commit_metadata(
             {"op": "merge", "empty_batch": True, **(summary or {})}, watermarks_update

@@ -1,0 +1,20 @@
+from odibel_spark.operators.temporal import (  # noqa: F401
+    build_temporal_windows,
+    change_flux,
+    changes_per_key,
+    duration_histogram,
+    snapshot_at,
+    snapshot_statistics,
+    time_bucketed_counts,
+    value_distribution_stats,
+)
+from odibel_spark.operators.diff import set_diff, snapshot_diff  # noqa: F401
+from odibel_spark.operators.relational import (  # noqa: F401
+    degree_distribution,
+    filter_by_key_type,
+    min_per_group_reagg,
+    predicate_filter_expr,
+    referential_integrity_filter,
+    seeded_sample,
+    top_k_per_group,
+)

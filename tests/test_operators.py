@@ -1,0 +1,99 @@
+"""Operator-layer tests: DuckDB oracle parity for a representative
+subset (full sweep lives in tools/check_oracles.py, run at all scales),
+plus multimodal plumbing and entry() smoke."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from tools.check_oracles import TABLES, table_hash
+
+SUBSET = [
+    "cdc_last_writer_wins",
+    "cdc_temporal_windows",
+    "cdc_snapshot_diff",
+    "tpch_q1",
+    "text_language_id",
+    "dedup_minhash_lsh",
+    "sim_ivf_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, ducks, name):
+    sdf = E.queries()[name](spark, sf_dir)
+    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    res = ducks.execute(E.oracle_sql()[name])
+    dcols, drows = [d[0] for d in res.description], res.fetchall()
+    assert len(srows) == len(drows)
+    assert sorted(scols) == sorted(dcols)
+    assert table_hash(srows, scols) == table_hash(drows, dcols)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"user_id", "event_type", "value", "applied_lsn", "n_changes"}
+
+
+def test_every_query_has_oracle_or_is_whitelisted():
+    no_oracle_ok = {"transcript_cdc_replay", "multimodal_features"}
+    missing = set(E.queries()) - set(E.oracle_sql()) - no_oracle_ok
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from odibel_spark.functions.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+        sample_frames,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").limit(20)
+    media = attach_fake_media(d, "doc_id")
+    assert dict(media.dtypes)["media"] == "binary"
+
+    feats = extract_media_features(media, "doc_id", decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r.n_bytes == 64 and len(r.byte_histogram) == 4 for r in rows)
+    # deterministic across runs
+    again = extract_media_features(media, "doc_id", decode="fake").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # real decode is an explicit stub
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        extract_media_features(media, "doc_id", decode="real").collect()
+
+    frames = sample_frames(media, "doc_id", every_n_bytes=16)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in per_doc)  # 64 bytes / 16
+
+
+def test_temporal_windows_kernel(spark):
+    """Two-version diff micro-fixture (port of reference TGraphTest,
+    src/test/scala/ai/scads/odibel/sample/TGraphTest.scala:23-45):
+    one key changes value at t=1 → one closed + one open window."""
+    from odibel_spark.operators.temporal import OPEN_END, build_temporal_windows
+
+    ev = spark.createDataFrame(
+        [("k", "p2", 0, 0, "o2"), ("k", "p2", 1, 1, "o21"), ("k", "p1", 0, 0, "o1")],
+        "key string, attr string, v long, t long, val string",
+    )
+    w = build_temporal_windows(ev, ["key", "attr"], "v", "t", ["val"]).collect()
+    by = {(r.key, r.attr, r.val): r for r in w}
+    closed = by[("k", "p2", "o2")]
+    assert (closed.t_start, closed.t_end) == (0, 1)
+    assert by[("k", "p2", "o21")].t_end == OPEN_END
+    assert by[("k", "p1", "o1")].t_end == OPEN_END
