@@ -49,17 +49,39 @@ def _alias_normalizer(aliases: dict[str, str]):
     return norm
 
 
+#: Arrow-typed pandas normalizers — the escape hatch for promotions a
+#: Column expression can't express (regex-bank cleanup, model-specific
+#: remaps shipped as Python). Vectorized per Arrow batch, never per-row.
 normalize_tool = _alias_normalizer(TOOL_ALIASES)
 normalize_role = _alias_normalizer(ROLE_ALIASES)
 
 
-def normalize_batch(df: DataFrame) -> DataFrame:
-    """Vectorized payload promotion applied per micro-batch."""
+def _alias_expr(col: str, aliases: dict[str, str]) -> F.Column:
+    """Same promotion as the pandas normalizer, as a pure Column
+    expression: map-literal lookup with identity fallback. Stays inside
+    whole-stage codegen — no Python worker, no Arrow hop."""
+    cleaned = F.lower(F.trim(F.col(col)))
+    amap = F.create_map(*[F.lit(x) for kv in aliases.items() for x in kv])
+    return F.coalesce(F.element_at(amap, cleaned), cleaned)
+
+
+def normalize_batch(df: DataFrame, use_pandas: bool = False) -> DataFrame:
+    """Vectorized payload promotion applied per micro-batch.
+
+    Default is the codegen expression path; ``use_pandas=True`` routes
+    through the Arrow-typed pandas UDFs instead (identical semantics —
+    test_pipeline asserts equality) for promotions that outgrow a map
+    literal.
+    """
     out = df
     if "tool" in df.columns:
-        out = out.withColumn("tool", normalize_tool("tool"))
+        out = out.withColumn(
+            "tool", normalize_tool("tool") if use_pandas else _alias_expr("tool", TOOL_ALIASES)
+        )
     if "role" in df.columns:
-        out = out.withColumn("role", normalize_role("role"))
+        out = out.withColumn(
+            "role", normalize_role("role") if use_pandas else _alias_expr("role", ROLE_ALIASES)
+        )
     return out
 
 

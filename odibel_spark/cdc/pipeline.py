@@ -45,7 +45,7 @@ from pyspark.sql import types as T
 
 from odibel_spark.cdc.evolution import diff_new_fields, discover_wal_schema, normalize_batch
 from odibel_spark.cdc.replay import EVENT_ID_COLS, KEY_COLS, split_dead_letters
-from odibel_spark.lake.merge import SYSTEM_FIELDS, cdc_table_schema, merge_upsert
+from odibel_spark.lake.merge import SYSTEM_FIELDS, merge_upsert
 from odibel_spark.lake.table import BucketSpec, LakeTable
 
 #: WAL bookkeeping columns that never become table payload
@@ -96,6 +96,13 @@ class PipelineConfig:
     #: by any in-flight out-of-order event, so the merge drops them
     #: for free. None = keep tombstones forever.
     tombstone_gc_lsn_slack: int | None = 100_000
+    #: "cow" rewrites touched buckets per batch (read-optimized);
+    #: "mor" appends folded delta files per batch — O(batch) commits
+    #: with read-time fold + periodic compaction (write-optimized)
+    merge_mode: str = "cow"
+    #: mor only: fold delta files back into one row per key every N
+    #: epochs (bounds read amplification); None = manual compaction
+    compact_every_epochs: int | None = 8
     extra: dict = field(default_factory=dict)
 
 
@@ -120,11 +127,15 @@ class TranscriptCdcPipeline:
         wal_schema = discover_wal_schema(self.spark, self.cfg.wal_dirs)
         payload = self._payload_fields(wal_schema)
         if not LakeTable.exists(self.spark, self.table_root):
-            LakeTable.create(
+            from odibel_spark.lake.merge import create_cdc_table
+
+            create_cdc_table(
                 self.spark,
                 self.table_root,
-                cdc_table_schema(payload),
+                payload,
                 BucketSpec("conv_id", self.cfg.buckets),
+                key_cols=KEY_COLS,
+                merge_mode=self.cfg.merge_mode,
             )
         table = LakeTable.load(self.spark, self.table_root)
         new = diff_new_fields(table.schema(), wal_schema, ignore=(*WAL_META_COLS, *SYSTEM_FIELDS))
@@ -215,6 +226,19 @@ class TranscriptCdcPipeline:
                 touched_buckets=touched,
                 tombstone_gc_below_lsn=gc_below,
             )
+            if (
+                self.cfg.merge_mode == "mor"
+                and self.cfg.compact_every_epochs
+                and epoch_id > 0
+                and epoch_id % self.cfg.compact_every_epochs == 0
+            ):
+                from odibel_spark.lake.merge import compact_buckets
+
+                compact_buckets(
+                    table,
+                    tombstone_gc_below_lsn=gc_below,
+                    summary={"stream_id": self.cfg.stream_id, "after_epoch": epoch_id},
+                )
             if self.cfg.fail_after_commit_epoch == epoch_id:
                 raise RuntimeError(f"fault-injection: crash after commit of epoch {epoch_id}")
 
@@ -223,22 +247,51 @@ class TranscriptCdcPipeline:
             flagged.unpersist()
 
     def _append_side_rows(self, epoch_id, lineage_rows, n_ok, n_dead, secs) -> None:
-        now = F.current_timestamp()
+        # driver-side pyarrow appends: per-batch bookkeeping is a few
+        # rows — a distributed write job here would be pure scheduling
+        # overhead at every micro-batch
+        import datetime as _dt
+
+        now = _dt.datetime.now(_dt.timezone.utc)
         lin = LakeTable.load(self.spark, self.lineage_root)
         rows = [
-            (self.cfg.stream_id, epoch_id, r["bucket"], r["n_events"], r["min_lsn"], r["max_lsn"])
+            {
+                "stream_id": self.cfg.stream_id,
+                "epoch": epoch_id,
+                "bucket": r["bucket"],
+                "n_events": r["n_events"],
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "committed_at": now,
+            }
             for r in lineage_rows
-        ] or [(self.cfg.stream_id, epoch_id, None, 0, None, None)]
-        lin_df = self.spark.createDataFrame(
-            rows, T.StructType(LINEAGE_SCHEMA.fields[:-1])
-        ).withColumn("committed_at", now)
-        lin.append(lin_df, summary={"epoch": epoch_id})
+        ] or [
+            {
+                "stream_id": self.cfg.stream_id,
+                "epoch": epoch_id,
+                "bucket": None,
+                "n_events": 0,
+                "min_lsn": None,
+                "max_lsn": None,
+                "committed_at": now,
+            }
+        ]
+        lin.append_rows(rows, summary={"epoch": epoch_id})
         met = LakeTable.load(self.spark, self.metrics_root)
-        met_df = self.spark.createDataFrame(
-            [(self.cfg.stream_id, epoch_id, n_ok, n_dead, secs, (n_ok / secs) if secs > 0 else None)],
-            T.StructType(METRICS_SCHEMA.fields[:-1]),
-        ).withColumn("committed_at", now)
-        met.append(met_df, summary={"epoch": epoch_id})
+        met.append_rows(
+            [
+                {
+                    "stream_id": self.cfg.stream_id,
+                    "epoch": epoch_id,
+                    "n_events": n_ok,
+                    "n_dead": n_dead,
+                    "batch_seconds": secs,
+                    "events_per_sec": (n_ok / secs) if secs > 0 else None,
+                    "committed_at": now,
+                }
+            ],
+            summary={"epoch": epoch_id},
+        )
 
     def _ensure_side_rows(self, epoch_id: int) -> None:
         """Idempotent catch-up when a batch replay was fenced: if the

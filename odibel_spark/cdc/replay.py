@@ -60,20 +60,37 @@ def last_writer_wins(
     tie_break: list[str] | None = None,
 ) -> DataFrame:
     """Reduce a WAL to one winning event per key: the event with the
-    highest LSN (exact duplicates collapse first).
+    highest LSN (exact duplicates collapse first — LSNs are unique per
+    key, so same-LSN duplicates are identical rows and either copy is
+    the same winner).
 
     Returns winners *including* delete winners — callers that want the
     live table apply ``current_state``; callers implementing MERGE need
     the delete rows to drive `WHEN MATCHED ... DELETE`.
+
+    Physical plan: ONE hash shuffle on the keys with map-side partial
+    aggregation (``max_by`` fold), no sort. The window-function spelling
+    (`row_number over (partition by key order by lsn desc)`) costs a
+    full sort-shuffle and ships every duplicate to the reducer;
+    ``max_by`` combines executor-side first, which at 10^10 events with
+    a skewed feed is the difference between shuffling the WAL and
+    shuffling roughly one row per live key.
     """
     keys = key_cols or KEY_COLS
-    w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).desc(), *(tie_break or []))
-    return (
-        events.dropDuplicates([*keys, lsn_col])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    others = [c for c in events.columns if c not in keys]
+    if tie_break:
+        # caller needs an order beyond the LSN (non-unique versions):
+        # fall back to the explicit window sort
+        w = Window.partitionBy(*keys).orderBy(F.col(lsn_col).desc(), *tie_break)
+        return (
+            events.dropDuplicates([*keys, lsn_col])
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(lsn_col)).alias("_w")
+    folded = events.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    return folded.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
 
 
 def current_state(events: DataFrame) -> DataFrame:

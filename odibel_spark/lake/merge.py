@@ -55,9 +55,31 @@ def cdc_table_schema(fields: list[T.StructField]) -> T.StructType:
 
 
 def create_cdc_table(
-    spark, root: str, fields: list[T.StructField], bucket: BucketSpec
+    spark,
+    root: str,
+    fields: list[T.StructField],
+    bucket: BucketSpec,
+    key_cols: list[str] | None = None,
+    merge_mode: str = "cow",
 ) -> LakeTable:
-    return LakeTable.create(spark, root, cdc_table_schema(fields), bucket)
+    """CDC target table. ``merge_mode``:
+
+    - ``"cow"`` (copy-on-write): MERGE rewrites the touched buckets;
+      reads are plain scans. Optimal read-heavy.
+    - ``"mor"`` (merge-on-read): MERGE appends folded winner rows as
+      bucket-tagged delta files — O(batch) per commit regardless of
+      table size; reads fold by key (``LakeTable.read``), compaction
+      (``compact_buckets``) bounds the fold. Optimal write-heavy — the
+      10^10-events/day ingest posture.
+    """
+    if merge_mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    props = {"merge_mode": merge_mode}
+    if merge_mode == "mor":
+        if not key_cols:
+            raise ValueError("mor tables need key_cols (read-time fold keys)")
+        props["merge_keys"] = list(key_cols)
+    return LakeTable.create(spark, root, cdc_table_schema(fields), bucket, properties=props)
 
 
 def merge_upsert(
@@ -98,7 +120,32 @@ def merge_upsert(
         raise ValueError(f"CDC table needs {LSN_FIELD} and {DELETED_FIELD} columns")
     payload_cols = [n for n in names if n not in (*key_cols, *SYSTEM_FIELDS)]
 
+    if touched_buckets is not None and not touched_buckets:
+        return table.commit_metadata(
+            {"op": "merge", "empty_batch": True, **(summary or {})}, watermarks_update
+        )
+
     winners = last_writer_wins(source, key_cols, lsn_col) if fold else source
+
+    if table.properties().get("merge_mode") == "mor":
+        # merge-on-read: append the folded winners as delta rows —
+        # O(batch) per commit, no target read, no bucket rewrite. The
+        # key's LWW resolution happens in LakeTable.read's fold; the
+        # epoch fence (watermarks) commits atomically with the delta.
+        out_cols = [F.col(c) for c in key_cols]
+        is_del = F.col(op_col) == delete_op
+        for c in payload_cols:
+            dt = schema[c].dataType
+            src = F.col(c).cast(dt) if c in winners.columns else F.lit(None).cast(dt)
+            out_cols.append(F.when(is_del, F.lit(None).cast(dt)).otherwise(src).alias(c))
+        out_cols.append(F.col(lsn_col).cast("long").alias(LSN_FIELD))
+        out_cols.append(is_del.alias(DELETED_FIELD))
+        return table.append(
+            winners.select(*out_cols),
+            summary={"op": "merge-mor", **(summary or {})},
+            watermarks_update=watermarks_update,
+        )
+
     winners = winners.withColumn("_sb", spec.expr())
 
     # Which copy-on-write units does this batch touch? (≤ n_buckets
@@ -156,6 +203,43 @@ def merge_upsert(
         result,
         summary={"touched_buckets": sorted(touched), **(summary or {})},
         watermarks_update=watermarks_update,
+    )
+
+
+def compact_buckets(
+    table: LakeTable,
+    buckets: set[int] | None = None,
+    tombstone_gc_below_lsn: int | None = None,
+    summary: dict | None = None,
+) -> dict:
+    """MoR maintenance: rewrite buckets folding delta rows to one row
+    per key (bounding read-time fold cost), optionally dropping
+    tombstones whose LSN fence is safely below the stream
+    low-watermark. Safe to run concurrently with reads (snapshot
+    isolation); conflicts with a concurrent merge commit resolve by
+    optimistic retry in ``_next_commit``."""
+    spec = table.bucket_spec()
+    if spec is None:
+        raise ValueError("compact_buckets requires a bucketed table")
+    target = set(buckets) if buckets is not None else set(range(spec.buckets))
+    props = table.properties()
+    keys = props.get("merge_keys")
+    if not keys:
+        raise ValueError("compact_buckets needs merge_keys table property (mor table)")
+    raw = table.read(buckets=target, include_tombstones=True, fold=False)
+    others = [c for c in raw.columns if c not in keys]
+    winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_FIELD)).alias("_w")
+    folded = (
+        raw.groupBy(*[F.col(k) for k in keys])
+        .agg(winner)
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+    )
+    if tombstone_gc_below_lsn is not None:
+        folded = folded.filter(
+            ~(F.coalesce(F.col(DELETED_FIELD), F.lit(False)) & (F.col(LSN_FIELD) < F.lit(tombstone_gc_below_lsn)))
+        )
+    return table.replace_buckets(
+        target, folded, summary={"op": "compact", **(summary or {})}
     )
 
 

@@ -87,6 +87,26 @@ def _file_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _arrow_type(dt: T.DataType):
+    """Spark type → pyarrow type for the driver-side small-append path
+    (only the types the side tables use; Spark reads the file back by
+    name against the manifest schema)."""
+    import pyarrow as pa
+
+    mapping = {
+        T.StringType(): pa.string(),
+        T.LongType(): pa.int64(),
+        T.IntegerType(): pa.int32(),
+        T.DoubleType(): pa.float64(),
+        T.BooleanType(): pa.bool_(),
+        T.TimestampType(): pa.timestamp("us", tz="UTC"),
+    }
+    try:
+        return mapping[dt]
+    except KeyError:
+        raise TypeError(f"append_rows does not support column type {dt}") from None
+
+
 class LakeTable:
     """Handle to one transactional table. Cheap to construct; all state
     lives on disk in the manifest chain."""
@@ -115,8 +135,9 @@ class LakeTable:
             files=[],
             schema=schema,
             bucket=bucket,
-            summary={"op": "create", **(properties or {})},
+            summary={"op": "create"},
             watermarks={},
+            properties=properties or {},
         )
         return t
 
@@ -162,6 +183,9 @@ class LakeTable:
     def bucket_spec(self, version: int | None = None) -> BucketSpec | None:
         return BucketSpec.from_json(self.manifest(version).get("bucket"))
 
+    def properties(self, version: int | None = None) -> dict:
+        return self.manifest(version).get("properties", {})
+
     def watermark(self, stream_id: str) -> int:
         """Last epoch applied for a stream (−1 if never). The epoch
         fence for exactly-once foreachBatch commits."""
@@ -176,6 +200,7 @@ class LakeTable:
         summary: dict,
         watermarks: dict,
         parent: int | None = None,
+        properties: dict | None = None,
     ) -> dict:
         man = {
             "format_version": 1,
@@ -188,6 +213,7 @@ class LakeTable:
             "row_count": sum(f["rows"] for f in files),
             "summary": summary,
             "watermarks": watermarks,
+            "properties": properties or {},
         }
         os.makedirs(self.meta_dir, exist_ok=True)
         tmp = os.path.join(self.meta_dir, f".tmp-{uuid.uuid4().hex}.json")
@@ -250,9 +276,16 @@ class LakeTable:
         buckets: set[int] | None = None,
         with_bucket_col: bool = False,
         include_tombstones: bool = False,
+        fold: bool | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel via ``version``); optionally
         restricted to a bucket subset — the MERGE fast path.
+
+        Merge-on-read tables (``properties.merge_mode == "mor"``) carry
+        multiple versions of a key across delta files; the read applies
+        the last-writer-wins fold (one hash agg on the merge keys) so
+        every reader sees exactly the merged state. ``fold=False``
+        returns the raw delta rows (compaction/debugging).
 
         If the table carries a ``_deleted`` tombstone column (CDC
         tables do — see lake/merge.py), tombstoned rows are filtered
@@ -265,6 +298,20 @@ class LakeTable:
         else:
             paths = [os.path.join(self.root, f["path"]) for f in fs]
             df = self.spark.read.schema(schema).parquet(*paths)
+        props = self.properties(version)
+        if fold is None:
+            fold = props.get("merge_mode") == "mor"
+        if fold:
+            keys = props.get("merge_keys")
+            if not keys:
+                raise ValueError("mor fold requested but table has no merge_keys property")
+            others = [c for c in df.columns if c not in keys]
+            winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("_lsn")).alias("_w")
+            df = (
+                df.groupBy(*[F.col(k) for k in keys])
+                .agg(winner)
+                .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+            )
         if "_deleted" in schema.fieldNames() and not include_tombstones:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
         if with_bucket_col:
@@ -297,6 +344,7 @@ class LakeTable:
                     bucket=self.bucket_spec(),
                     summary=summary,
                     watermarks=wm,
+                    properties=cur.get("properties", {}),
                 )
             except CommitConflict:
                 if attempt == retries - 1:
@@ -304,10 +352,50 @@ class LakeTable:
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> dict:
+    def append_rows(self, rows: list[dict], summary: dict | None = None) -> dict:
+        """Driver-side append of a handful of rows (lineage/metrics
+        bookkeeping): writes one parquet file via pyarrow, no Spark job.
+        A streaming sink that launched a distributed job to persist a
+        three-row metrics record would spend more on scheduling than on
+        data — this is the per-micro-batch fast path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not rows:
+            return self.manifest()
+        schema = self.schema()
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
+        )
+        cols = {
+            f.name: [r.get(f.name) for r in rows] for f in schema.fields
+        }
+        tbl = pa.Table.from_pydict(cols, schema=arrow_schema)
+        cur = self.manifest()
+        commit_dir = os.path.join(
+            self.root, DATA_DIR, f"c{cur['version'] + 1}-{uuid.uuid4().hex[:8]}"
+        )
+        os.makedirs(commit_dir, exist_ok=True)
+        path = os.path.join(commit_dir, "part-00000.parquet")
+        pq.write_table(tbl, path, compression="snappy")
+        new = [
+            {
+                "path": os.path.relpath(path, self.root),
+                "bucket": None,
+                "rows": len(rows),
+                "bytes": os.path.getsize(path),
+            }
+        ]
+        return self._next_commit(new, cur["files"], {"op": "append", **(summary or {})})
+
+    def append(
+        self, df: DataFrame, summary: dict | None = None, watermarks_update: dict | None = None
+    ) -> dict:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
-        return self._next_commit(new, cur["files"], {"op": "append", **(summary or {})})
+        return self._next_commit(
+            new, cur["files"], {"op": "append", **(summary or {})}, watermarks_update
+        )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         cur = self.manifest()

@@ -139,6 +139,59 @@ def test_mid_stream_schema_evolution_restart(spark, tmpdir_path):
     assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
 
 
+def test_mor_pipeline_matches_cow_and_oracle(spark, wal_dir, tmpdir_path):
+    """Merge-on-read mode: per-batch O(batch) delta appends + mid-run
+    compaction must converge to the same table as CoW and the batch
+    oracle."""
+    base = os.path.join(tmpdir_path, "mor")
+    os.makedirs(base)
+    p = run_pipeline(
+        spark, wal_dir, base, max_files_per_trigger=2,
+        merge_mode="mor", compact_every_epochs=2,
+    )
+    got = p.table().read()
+    exp = oracle_state(spark, CFG)
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+    # a key updated in several epochs appears exactly once after the fold
+    assert got.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+    ops = [m["summary"].get("op") for m in p.table().history()]
+    assert "merge-mor" in ops and "compact" in ops
+
+    # final manual compaction folds every bucket to one file set and
+    # drops all tombstones; result unchanged
+    from odibel_spark.lake.merge import compact_buckets
+
+    compact_buckets(p.table(), tombstone_gc_below_lsn=2**62)
+    after = p.table().read()
+    assert checksum(after.select(*cols), cols) == checksum(exp.select(*cols), cols)
+    raw = p.table().read(fold=False, include_tombstones=True)
+    assert raw.filter(F.col("_deleted")).count() == 0
+
+
+def test_mor_crash_restart_exactly_once(spark, wal_dir, tmpdir_path):
+    base = os.path.join(tmpdir_path, "morcrash")
+    os.makedirs(base)
+    with pytest.raises(Exception):
+        run_pipeline(
+            spark, wal_dir, base, max_files_per_trigger=2,
+            merge_mode="mor", fail_after_commit_epoch=1, compact_every_epochs=None,
+        )
+    p = run_pipeline(
+        spark, wal_dir, base, max_files_per_trigger=2,
+        merge_mode="mor", compact_every_epochs=None,
+    )
+    exp = oracle_state(spark, CFG)
+    got = p.table().read()
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+    merges_e1 = [
+        m for m in p.table().history() if m["summary"].get("epoch") == 1
+        and m["summary"].get("op") == "merge-mor"
+    ]
+    assert len(merges_e1) == 1, "epoch 1 must be applied exactly once"
+
+
 def test_normalizer_promotes_legacy_variants(spark):
     from odibel_spark.cdc import normalize_batch
 
@@ -149,3 +202,8 @@ def test_normalizer_promotes_legacy_variants(spark):
     out = normalize_batch(df).collect()
     assert [r.role for r in out] == ["user", "assistant", "tool", None]
     assert [r.tool for r in out] == ["calculator", "search", None, "code_interpreter"]
+
+    # the Arrow pandas-UDF path (schema-evolution escape hatch) must
+    # agree exactly with the codegen expression path
+    pd_out = normalize_batch(df, use_pandas=True).collect()
+    assert pd_out == out
