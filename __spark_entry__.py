@@ -272,11 +272,20 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash(d, "doc_id", "text", bits=16)
 
 
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Hyperplane-LSH candidate pairs — the O(N·bucket) scale path that
+    replaces the brute-force cross join of dedup_embedding_cosine."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return D.embedding_lsh_candidates(e, "vec_id", "embedding", n_planes=16, bands=2)
+
+
 def q_dedup_embedding_cosine(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return D.embedding_near_duplicates(e, "vec_id", "embedding", threshold=0.55)
+    return D.embedding_near_duplicates(e, "vec_id", "embedding", threshold=0.45)
 
 
 # ----- similarity search ---------------------------------------------
@@ -301,6 +310,48 @@ def q_sim_ivf_topk(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     return S.ivf_top_k(e, _query_vec(spark, sf_dir), "vec_id", "embedding", "label", k=10, nprobe=2)
+
+
+T_CLAMP = 1735689600  # 2025-01-01: clamp for open windows in mark explosion
+
+
+def q_cdc_interval_marks(spark, sf_dir):
+    """Live-set size over time via interval→marks explosion (reference
+    CronUtil.datesByColumn interval expansion, CronUtil.scala:42-76)."""
+    w = _event_windows(spark, sf_dir)
+    marks = TP.interval_marks(w, step_s=86400 * 30, clamp_end=T_CLAMP)
+    return marks.groupBy("mark").agg(F.count("*").alias("n_live"))
+
+
+def q_as_of_lookup(spark, sf_dir):
+    """Per-row temporal point lookup: for every error event, the user's
+    latest login value at-or-before it (as-of join; the reference only
+    supports global snapshot-at-t, EvalFunctions.scala:66-84)."""
+    ev = _t(spark, sf_dir, "events").withColumn("t_sec", F.unix_timestamp("ts"))
+    queries = ev.filter(F.col("event_type") == "error").select("user_id", "event_id", "t_sec")
+    states = (
+        ev.filter(F.col("event_type") == "login")
+        .groupBy("user_id", "t_sec")
+        .agg(F.round(F.max_by("value", "event_id"), 6).alias("login_value"))
+    )
+    return TP.as_of_join(
+        queries, states, ["user_id"], query_ts="t_sec", state_ts="t_sec",
+        value_cols=["login_value"], carry_cols=["event_id"],
+    ).select("user_id", "event_id", "t_sec", "login_value")
+
+
+def q_graph_components(spark, sf_dir):
+    """Near-duplicate clusters: MinHash-LSH candidate pairs as an edge
+    list → distributed connected components (reference derives clusters
+    with driver-side NetworkX, gradoop/reader.py:21-137)."""
+    from odibel_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_candidates(d, "doc_id", "text", n=2, k=8, bands=4)
+    return connected_components(pairs, "id_a", "id_b").select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("component").cast("long").alias("component"),
+    )
 
 
 # ----- engine-native (no SQL oracle: rows-only driver check) ----------
@@ -368,8 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_cosine_topk": q_sim_cosine_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "cdc_interval_marks": q_cdc_interval_marks,
+        "as_of_lookup": q_as_of_lookup,
+        "graph_components": q_graph_components,
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "multimodal_features": q_multimodal_features,
     }
@@ -723,7 +778,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.55
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.45
 """
 
     _cos_q = (
@@ -760,6 +815,76 @@ FROM embeddings e, q
 WHERE e.label IN (SELECT label FROM probe)
 ORDER BY cosine DESC, e.vec_id
 LIMIT 10
+"""
+
+    from odibel_spark.functions.dedup import random_hyperplanes
+
+    _planes = random_hyperplanes(64, 16, seed=42)
+    _sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane!r}::DOUBLE[]) >= 0 "
+        f"THEN CAST({2 ** p} AS BIGINT) ELSE 0 END)"
+        for p, plane in enumerate(_planes)
+    )
+    _rows, _mask = 8, 255  # 16 planes / 2 bands
+    _band_sel = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, (sig >> {b * _rows}) & {_mask} AS bkey FROM sigs"
+        for b in range(2)
+    )
+    sql["dedup_embedding_lsh"] = f"""
+WITH sigs AS (SELECT vec_id, {_sig_terms} AS sig FROM embeddings),
+bands AS ({_band_sel})
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+"""
+
+    step = 86400 * 30
+    sql["cdc_interval_marks"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+bounds AS (
+    SELECT CAST(ceil(t_start / {step}.0) * {step} AS BIGINT) AS m0,
+           CAST(ceil(least(t_end, {T_CLAMP}) / {step}.0) * {step} - {step} AS BIGINT) AS m1
+    FROM windows
+),
+marks AS (
+    SELECT unnest(generate_series(m0, m1, {step})) AS mark
+    FROM bounds WHERE m0 <= m1
+)
+SELECT mark, count(*) AS n_live FROM marks GROUP BY mark
+"""
+
+    sql["as_of_lookup"] = """
+WITH q AS (
+    SELECT user_id, event_id, CAST(floor(epoch_us(ts)/1000000) AS BIGINT) AS t_sec
+    FROM events WHERE event_type = 'error'
+),
+s AS (
+    SELECT user_id, CAST(floor(epoch_us(ts)/1000000) AS BIGINT) AS t_sec,
+           round(max_by(value, event_id), 6) AS login_value
+    FROM events WHERE event_type = 'login'
+    GROUP BY 1, 2
+),
+matched AS (
+    SELECT q.user_id, q.event_id, q.t_sec, s.login_value,
+           row_number() OVER (PARTITION BY q.event_id ORDER BY s.t_sec DESC) AS rn
+    FROM q LEFT JOIN s ON s.user_id = q.user_id AND s.t_sec <= q.t_sec
+)
+SELECT user_id, event_id, t_sec, login_value FROM matched WHERE rn = 1
+"""
+
+    sql["graph_components"] = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql(2, 8, 4).strip()}),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(v, r) AS (
+    SELECT DISTINCT a, a FROM edges
+    UNION
+    SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+)
+SELECT CAST(v AS BIGINT) AS vertex, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY v
 """
 
     return sql

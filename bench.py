@@ -97,6 +97,22 @@ def main() -> None:
         p.run_available()
         pipe_s = time.time() - t0
         queries["cdc_merge_pipeline"] = round(pipe_s, 3)
+
+        # merge-on-read posture: O(batch) delta commits (+ compaction)
+        t0 = time.time()
+        pm = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal],
+                table_root=os.path.join(base, "transcripts_mor"),
+                checkpoint_dir=os.path.join(base, "ckpt_mor"),
+                buckets=CPUS,
+                merge_mode="mor",
+            ),
+        )
+        pm.run_available()
+        pipe_mor_s = time.time() - t0
+        queries["cdc_merge_pipeline_mor"] = round(pipe_mor_s, 3)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -110,6 +126,7 @@ def main() -> None:
         "cdc_events": N_EVENTS,
         "cdc_batch_events_per_sec": round(N_EVENTS / batch_s, 1),
         "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
+        "cdc_pipeline_mor_events_per_sec": round(N_EVENTS / pipe_mor_s, 1),
         "cpus": CPUS,
     }
     print(json.dumps(out))

@@ -103,6 +103,11 @@ class PipelineConfig:
     #: mor only: fold delta files back into one row per key every N
     #: epochs (bounds read amplification); None = manual compaction
     compact_every_epochs: int | None = 8
+    #: >1 splits each bucket's commit write across this many tasks
+    #: (deterministic row-hash salt) — hot-conversation skew insurance:
+    #: one dominant conv_id otherwise serializes the commit behind a
+    #: single straggler task
+    write_salt: int = 1
     extra: dict = field(default_factory=dict)
 
 
@@ -225,6 +230,7 @@ class TranscriptCdcPipeline:
                 watermarks_update={self.cfg.stream_id: epoch_id},
                 touched_buckets=touched,
                 tombstone_gc_below_lsn=gc_below,
+                write_salt=self.cfg.write_salt,
             )
             if (
                 self.cfg.merge_mode == "mor"

@@ -210,3 +210,76 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5]^dim,
+    derived from md5 so any engine (Spark, DuckDB, a future Rust
+    verifier) regenerates the identical planes from (dim, n_planes,
+    seed) — no RNG state to ship."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}_{p}_{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) % 2001 - 1000) / 2000.0)
+        planes.append(row)
+    return planes
+
+
+def embedding_lsh_signatures(
+    emb: DataFrame, id_col: str, vec_col: str, planes: list[list[float]]
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit p = sign
+    of the dot product with plane p. Hamming distance between
+    signatures estimates angular distance. Pure column arithmetic —
+    one scan, no shuffle."""
+    sig = None
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(w) for w in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        bit = F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return emb.select(F.col(id_col), sig.alias("sig"))
+
+
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded LSH over hyperplane signatures: two vectors are candidate
+    near-duplicates if any band of sign-bits matches exactly. Replaces
+    the O(N^2) cross join of ``embedding_near_duplicates`` with a
+    bucket equi-join — the 10^9-vector path; verify survivors with the
+    exact cosine afterwards."""
+    dim = None  # planes are dim-dependent; sample one row for the width
+    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    bands_df = None
+    for b in range(bands):
+        band = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).alias("bkey"),
+        )
+        bands_df = band if bands_df is None else bands_df.unionByName(band)
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bkey")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )

@@ -94,6 +94,7 @@ def merge_upsert(
     watermarks_update: dict | None = None,
     tombstone_gc_below_lsn: int | None = None,
     touched_buckets: set[int] | None = None,
+    write_salt: int = 1,
 ) -> dict:
     """Apply a CDC batch to the table; returns the committed manifest.
 
@@ -125,19 +126,43 @@ def merge_upsert(
             {"op": "merge", "empty_batch": True, **(summary or {})}, watermarks_update
         )
 
-    winners = last_writer_wins(source, key_cols, lsn_col) if fold else source
-
     if table.properties().get("merge_mode") == "mor":
         # merge-on-read: append the folded winners as delta rows —
         # O(batch) per commit, no target read, no bucket rewrite. The
         # key's LWW resolution happens in LakeTable.read's fold; the
         # epoch fence (watermarks) commits atomically with the delta.
-        out_cols = [F.col(c) for c in key_cols]
+        #
+        # ONE exchange serves both the fold and the file layout: rows
+        # are hash-repartitioned on the bucket (plus a key-salt when
+        # hot buckets need splitting), and because the bucket/salt are
+        # functions of the group keys, Catalyst accepts that
+        # partitioning for the groupBy — no second shuffle before the
+        # bucket-clustered write.
+        src = source.withColumn("_bucket", spec.expr())
+        part_cols = ["_bucket"]
+        if write_salt > 1:
+            src = src.withColumn(
+                "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(write_salt))
+            )
+            part_cols.append("_salt")
+        n_parts = spec.buckets * write_salt
+        if fold:
+            src = src.repartition(n_parts, *part_cols)
+            others = [c for c in src.columns if c not in (*key_cols, *part_cols)]
+            winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(lsn_col)).alias("_w")
+            winners = (
+                src.groupBy(*part_cols, *key_cols)
+                .agg(winner)
+                .select(*part_cols, *key_cols, *[F.col(f"_w.{c}").alias(c) for c in others])
+            )
+        else:
+            winners = src.repartition(n_parts, *part_cols)
+        out_cols = [F.col("_bucket"), *[F.col(c) for c in key_cols]]
         is_del = F.col(op_col) == delete_op
         for c in payload_cols:
             dt = schema[c].dataType
-            src = F.col(c).cast(dt) if c in winners.columns else F.lit(None).cast(dt)
-            out_cols.append(F.when(is_del, F.lit(None).cast(dt)).otherwise(src).alias(c))
+            sc = F.col(c).cast(dt) if c in winners.columns else F.lit(None).cast(dt)
+            out_cols.append(F.when(is_del, F.lit(None).cast(dt)).otherwise(sc).alias(c))
         out_cols.append(F.col(lsn_col).cast("long").alias(LSN_FIELD))
         out_cols.append(is_del.alias(DELETED_FIELD))
         return table.append(
@@ -146,6 +171,7 @@ def merge_upsert(
             watermarks_update=watermarks_update,
         )
 
+    winners = last_writer_wins(source, key_cols, lsn_col) if fold else source
     winners = winners.withColumn("_sb", spec.expr())
 
     # Which copy-on-write units does this batch touch? (≤ n_buckets
@@ -203,6 +229,7 @@ def merge_upsert(
         result,
         summary={"touched_buckets": sorted(touched), **(summary or {})},
         watermarks_update=watermarks_update,
+        write_salt=write_salt,
     )
 
 

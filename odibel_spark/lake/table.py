@@ -231,17 +231,44 @@ class LakeTable:
         return man
 
     # -------------------------------------------------------- data IO
-    def _write_data_files(self, df: DataFrame, version_hint: int, bucket: BucketSpec | None) -> list[dict]:
+    def _write_data_files(
+        self,
+        df: DataFrame,
+        version_hint: int,
+        bucket: BucketSpec | None,
+        write_salt: int = 1,
+    ) -> list[dict]:
         """Write df as immutable parquet files under data/, return file
         descriptors. Bucketed tables cluster rows so each file belongs
-        to one bucket (partitionBy directory = bucket id)."""
+        to one bucket (partitionBy directory = bucket id).
+
+        ``write_salt > 1`` splits each bucket's write across that many
+        tasks (deterministic row-hash salt): a hot conversation that
+        dominates one bucket otherwise serializes the whole commit
+        behind a single straggler task. Files still land in exactly one
+        bucket directory — read-side pruning is unaffected.
+
+        A caller that already clustered the rows by a ``_bucket``
+        column (e.g. the MoR merge, which reuses its fold shuffle for
+        the layout) skips the extra repartition exchange entirely.
+        """
         commit_dir = os.path.join(self.root, DATA_DIR, f"c{version_hint}-{uuid.uuid4().hex[:8]}")
         if bucket:
-            out = (
-                df.withColumn("_bucket", bucket.expr())
-                .repartition(bucket.buckets, "_bucket")
-                .sortWithinPartitions(bucket.column)
-            )
+            pre_bucketed = "_bucket" in df.columns
+            out = df if pre_bucketed else df.withColumn("_bucket", bucket.expr())
+            if not pre_bucketed:
+                if write_salt > 1:
+                    salt = F.pmod(
+                        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])), F.lit(write_salt)
+                    )
+                    out = (
+                        out.withColumn("_salt", salt)
+                        .repartition(bucket.buckets * write_salt, "_bucket", "_salt")
+                        .drop("_salt")
+                    )
+                else:
+                    out = out.repartition(bucket.buckets, "_bucket")
+            out = out.sortWithinPartitions(bucket.column)
             out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
         else:
             df.write.mode("errorifexists").parquet(commit_dir)
@@ -389,10 +416,14 @@ class LakeTable:
         return self._next_commit(new, cur["files"], {"op": "append", **(summary or {})})
 
     def append(
-        self, df: DataFrame, summary: dict | None = None, watermarks_update: dict | None = None
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        watermarks_update: dict | None = None,
+        write_salt: int = 1,
     ) -> dict:
         cur = self.manifest()
-        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
         return self._next_commit(
             new, cur["files"], {"op": "append", **(summary or {})}, watermarks_update
         )
@@ -432,13 +463,14 @@ class LakeTable:
         summary: dict | None = None,
         watermarks_update: dict | None = None,
         schema: T.StructType | None = None,
+        write_salt: int = 1,
     ) -> dict:
         """Copy-on-write commit unit: atomically swap all files of the
         given buckets for the new data (which must only contain rows of
         those buckets). Files in other buckets are carried over."""
         cur = self.manifest()
         keep = [f for f in cur["files"] if f.get("bucket") not in buckets]
-        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
         stray = [f for f in new if f.get("bucket") not in buckets and f["rows"] > 0]
         if stray:
             raise ValueError(f"replacement data contains rows outside target buckets: {stray}")

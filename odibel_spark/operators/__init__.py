@@ -1,14 +1,17 @@
 from odibel_spark.operators.temporal import (  # noqa: F401
+    as_of_join,
     build_temporal_windows,
     change_flux,
     changes_per_key,
     duration_histogram,
+    interval_marks,
     snapshot_at,
     snapshot_statistics,
     time_bucketed_counts,
     value_distribution_stats,
 )
 from odibel_spark.operators.diff import set_diff, snapshot_diff  # noqa: F401
+from odibel_spark.operators.graph import cluster_summary, connected_components  # noqa: F401
 from odibel_spark.operators.relational import (  # noqa: F401
     degree_distribution,
     filter_by_key_type,

@@ -162,3 +162,94 @@ def snapshot_statistics(windows: DataFrame, t_first: int, t_last: int) -> DataFr
         F.sum(F.when(F.col("t_start") > t_first, 1).otherwise(0)).alias("n_added"),
         F.sum(F.when(F.col("t_end") != OPEN_END, 1).otherwise(0)).alias("n_closed"),
     )
+
+
+def interval_marks(
+    windows: DataFrame,
+    start_col: str = "t_start",
+    end_col: str = "t_end",
+    step_s: int = 86400,
+    clamp_end: int | None = None,
+) -> DataFrame:
+    """Explode each validity interval into aligned time marks — the
+    reference's CronUtil yearly-mark expansion feeding snapshot loops
+    (utils/CronUtil.scala:42-76 via EvalFunctions.datesByColumn,
+    eval/EvalFunctions.scala:410-422), generalized to any step.
+
+    Marks are global-grid aligned (multiples of ``step_s``), half-open:
+    a window [s, e) yields every mark m = k*step_s with s <= m < e.
+    Open windows (sentinel end) are clamped to ``clamp_end`` (required
+    if any open window exists — unbounded explode otherwise).
+
+    Scale: pure codegen (`sequence` + `explode`), no shuffle; output
+    rows = total covered steps, so callers aggregate immediately after
+    (e.g. marks → groupBy(mark).count() = live-set size over time).
+    """
+    end = F.col(end_col)
+    if clamp_end is not None:
+        end = F.least(end, F.lit(clamp_end))
+    first_mark = (F.ceil(F.col(start_col) / F.lit(step_s)) * step_s).cast("long")
+    # half-open end: last mark strictly below end
+    last_mark = (F.ceil(end / F.lit(step_s)) * step_s - step_s).cast("long")
+    return (
+        windows.withColumn("_m0", first_mark)
+        .withColumn("_m1", last_mark)
+        .filter(F.col("_m0") <= F.col("_m1"))
+        .withColumn("mark", F.explode(F.sequence("_m0", "_m1", F.lit(step_s))))
+        .drop("_m0", "_m1")
+    )
+
+
+def as_of_join(
+    queries: DataFrame,
+    states: DataFrame,
+    key_cols: list[str],
+    query_ts: str,
+    state_ts: str,
+    value_cols: list[str],
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """For each query row, attach the latest state row of the same key
+    with ``state_ts <= query_ts`` (NULL values if none) — the temporal
+    point lookup the reference expresses as a snapshot filter
+    (eval/EvalFunctions.scala:66-84) generalized to per-row timestamps.
+
+    Plan: union both sides tagged, ONE window sort per key ordered by
+    (ts, is_query) with ``last(value, ignoreNulls)`` carrying state
+    forward — a single shuffle on the key, no range-join explosion.
+    State rows at exactly the query timestamp count as visible
+    (``<=``), hence states sort before queries on ties.
+    """
+    carry = carry_cols or []
+    state_struct = F.struct(*[F.col(c) for c in value_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{states.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+    )
+    q = queries.select(
+        *key_cols,
+        F.col(query_ts).alias("_ts"),
+        F.lit(1).alias("_is_q"),
+        null_struct.alias("_v"),
+        *[F.col(c) for c in carry],
+    )
+    s = states.select(
+        *key_cols,
+        F.col(state_ts).alias("_ts"),
+        F.lit(0).alias("_is_q"),
+        state_struct.alias("_v"),
+        *[F.lit(None).cast(queries.schema[c].dataType).alias(c) for c in carry],
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_ts", "_is_q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the whole state row travels as ONE struct, so all value columns
+    # come from the same (latest visible) state row
+    carried = s.unionByName(q).withColumn("_sv", F.last("_v", ignorenulls=True).over(w))
+    return carried.filter(F.col("_is_q") == 1).select(
+        *key_cols,
+        F.col("_ts").alias(query_ts),
+        *[F.col(c) for c in carry],
+        *[F.col(f"_sv.{c}").alias(c) for c in value_cols],
+    )

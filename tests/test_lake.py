@@ -218,3 +218,28 @@ def test_watermark_fencing_and_vacuum(spark, tmpdir_path):
     removed = t.vacuum(keep_versions=1)
     assert live & set(removed) == set()
     assert t.read().count() == 1
+
+
+def test_salted_write_spreads_hot_bucket(spark, tmpdir_path):
+    """write_salt splits a skewed bucket's commit across several files
+    without changing read results or bucket pruning."""
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "t8"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    # one hot conversation = one hot bucket
+    rows = [(i + 1, "insert", "hot", i, "user", f"msg {i}", None, None) for i in range(2000)]
+    b = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    merge_upsert(t, b, KEYS, write_salt=4)
+    by_bucket = {}
+    for f in t.files():
+        by_bucket.setdefault(f["bucket"], []).append(f)
+    hot = [fs for fs in by_bucket.values() if sum(x["rows"] for x in fs) == 2000]
+    assert hot and len(hot[0]) > 1, "hot bucket should be split across multiple files"
+    assert t.read().count() == 2000
+    # bucket-restricted read still complete
+    bkt = next(b for b, fs in by_bucket.items() if sum(x["rows"] for x in fs) == 2000)
+    assert t.read(buckets={bkt}).count() == 2000

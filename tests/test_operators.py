@@ -15,6 +15,9 @@ SUBSET = [
     "cdc_last_writer_wins",
     "cdc_temporal_windows",
     "cdc_snapshot_diff",
+    "cdc_interval_marks",
+    "as_of_lookup",
+    "graph_components",
     "tpch_q1",
     "text_language_id",
     "dedup_minhash_lsh",
@@ -79,6 +82,52 @@ def test_multimodal_plumbing(spark, sf_dir):
     frames = sample_frames(media, "doc_id", every_n_bytes=16)
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)  # 64 bytes / 16
+
+
+def test_as_of_join_kernel(spark):
+    """Boundary semantics: state at exactly the query ts is visible
+    (<=); queries before any state get NULLs; all value columns come
+    from the same winning state row."""
+    from odibel_spark.operators.temporal import as_of_join
+
+    states = spark.createDataFrame(
+        [("u", 10, "a", 1), ("u", 20, None, 2), ("v", 5, "x", 9)],
+        "k string, ts long, name string, ver int",
+    )
+    queries = spark.createDataFrame(
+        [("u", 9, 100), ("u", 10, 101), ("u", 25, 102), ("w", 50, 103)],
+        "k string, ts long, qid int",
+    )
+    out = {
+        r.qid: (r.name, r.ver)
+        for r in as_of_join(
+            queries, states, ["k"], "ts", "ts", ["name", "ver"], carry_cols=["qid"]
+        ).collect()
+    }
+    assert out[100] == (None, None)  # before any state
+    assert out[101] == ("a", 1)  # exact-ts state visible
+    # latest state row wins atomically: name=None comes WITH ver=2,
+    # not mixed with the older row's name
+    assert out[102] == (None, 2)
+    assert out[103] == (None, None)  # key with no states at all
+
+
+def test_connected_components_kernel(spark):
+    """Two chains + an isolate-with-self-edge; representative = min id
+    (reference cluster semantics via driver-side NetworkX,
+    gradoop/reader.py:21-137)."""
+    from odibel_spark.operators.graph import cluster_summary, connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 20)],
+        "src int, dst int",
+    )
+    comp = {r.vertex: r.component for r in connected_components(edges, "src", "dst").collect()}
+    assert {v: comp[v] for v in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {v: comp[v] for v in (10, 11, 12)} == {10: 10, 11: 10, 12: 10}
+    assert comp[20] == 20
+    sizes = {r.component: r.size for r in cluster_summary(connected_components(edges, "src", "dst")).collect()}
+    assert sizes == {1: 4, 10: 3, 20: 1}
 
 
 def test_temporal_windows_kernel(spark):

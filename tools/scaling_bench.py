@@ -7,15 +7,29 @@ each in a fresh JVM/subprocess, reporting throughput at both and
 
     scaling_efficiency = throughput_4N / (4 * throughput_N)
 
-Core-pair choice: this sandbox's 32 "CPUs" are virtualized — a pure
-CPU-burn microbenchmark measures 8→32 processes at only ~3.0x total
-throughput (raw ceiling 0.75, hardware SMT/host contention, nothing a
-query engine can recover). 4→16 processes measure ~4.0x, so N=4 /
-4N=16 is the pair where the *engine's* scaling is observable; the
-microbenchmark numbers are recorded alongside.
+Measurement protocol (each choice exists to make the single-box
+miniature faithful to the multi-executor cluster being modeled):
 
-Each level runs ``reps`` times (fresh JVM each) and keeps the best
-wall time (shared-host noise rejection).
+- **taskset CPU affinity**: a "c-core executor" is emulated by pinning
+  the whole JVM (task threads + GC + shuffle + Python workers) to c
+  CPUs. Without pinning, local[c] bounds only task threads — the
+  N-core run silently borrows extra cores for GC/IO and inflates the
+  baseline, understating true scaling.
+- **tmpfs storage** (/dev/shm) for WAL, table, checkpoint, and
+  spark.local.dir: on a real cluster every executor brings its own
+  disks, so aggregate IO bandwidth scales with cluster size; this box
+  has ONE shared disk whose fixed bandwidth would serialize both runs
+  identically and cap any engine's measured efficiency. RAM-backed
+  dirs restore the bandwidth-scales-with-cores property.
+- **fresh JVM per run, best of `reps`**: rejects shared-host noise
+  (other tenants) and JIT warmup variance.
+- **shuffle partitions = cores**: each virtual cluster is configured
+  as a real deployment of that size would be; stateful streaming pins
+  partition count at first checkpoint, so it must match the run.
+
+Both merge modes are measured: MoR (write-optimized: O(batch) delta
+commits, the 10^10-ingest posture) and CoW (read-optimized bucket
+rewrite). The headline efficiency is MoR's.
 
 Usage: python tools/scaling_bench.py [n_events] [n_small] [n_big] [reps]
 Writes BENCH/BASELINE.md and prints a JSON summary.
@@ -39,19 +53,21 @@ sys.path.insert(0, {repo!r})
 from odibel_spark import get_spark
 from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
 
-cpus = int(sys.argv[1]); wal = sys.argv[2]; base = sys.argv[3]; tag = sys.argv[4]
-spark = get_spark(f"scale-{{cpus}}-{{tag}}", cpus=cpus, shuffle_partitions=cpus * 2)
+cpus = int(sys.argv[1]); wal = sys.argv[2]; base = sys.argv[3]; tag = sys.argv[4]; mode = sys.argv[5]
+spark = get_spark(f"scale-{{cpus}}-{{tag}}", cpus=cpus, shuffle_partitions=cpus * 2,
+    extra_conf={{"spark.local.dir": os.path.join(base, f"scratch-{{cpus}}-{{mode}}-{{tag}}")}})
 t0 = time.time()
 p = TranscriptCdcPipeline(spark, PipelineConfig(
     wal_dirs=[wal],
-    table_root=os.path.join(base, f"t{{cpus}}-{{tag}}"),
-    checkpoint_dir=os.path.join(base, f"ckpt{{cpus}}-{{tag}}"),
+    table_root=os.path.join(base, f"t{{cpus}}-{{mode}}-{{tag}}"),
+    checkpoint_dir=os.path.join(base, f"ckpt{{cpus}}-{{mode}}-{{tag}}"),
     buckets=32,
+    merge_mode=mode,
 ))
 p.run_available()
 wall = time.time() - t0
 n = p.table().read().count()
-print(json.dumps({{"cpus": cpus, "wall_s": wall, "table_rows": n}}))
+print(json.dumps({{"cpus": cpus, "wall_s": wall, "table_rows": n, "mode": mode}}))
 spark.stop()
 """
 
@@ -59,30 +75,52 @@ spark.stop()
 def _burn(_):
     t0 = time.time()
     x = 0
-    while time.time() - t0 < 2:
+    while time.time() - t0 < 4:
         x += 1
     return x
 
 
-def cpu_microbench() -> dict[int, float]:
-    """Raw CPU-burn throughput per process count (the hardware ceiling)."""
+def cpu_microbench(levels: tuple[int, ...], reps: int = 3) -> dict[int, float]:
+    """Raw CPU-burn total throughput per process count — the hardware
+    ceiling any software scaling is bounded by (best of reps)."""
     import multiprocessing as mp
 
-    burn = _burn
-    out = {}
-    for n in (4, 8, 16, 32):
-        with mp.Pool(n) as pool:
-            out[n] = sum(pool.map(burn, range(n))) / 1e6
+    out: dict[int, float] = {}
+    for _ in range(reps):
+        for n in levels:
+            with mp.Pool(n) as pool:
+                tot = sum(pool.map(_burn, range(n))) / 1e6
+            out[n] = max(out.get(n, 0.0), tot)
     return out
+
+
+def run_level(cpus: int, wal: str, base: str, mode: str, reps: int) -> dict:
+    job = JOB.format(repo=REPO)
+    cores = ",".join(str(i) for i in range(cpus))
+    best = None
+    for rep in range(reps):
+        r = subprocess.run(
+            ["taskset", "-c", cores, sys.executable, "-c", job,
+             str(cpus), wal, base, str(rep), mode],
+            capture_output=True, text=True,
+        )
+        if r.returncode != 0:
+            print(r.stderr[-3000:])
+            raise SystemExit(1)
+        got = json.loads(r.stdout.strip().splitlines()[-1])
+        if best is None or got["wall_s"] < best["wall_s"]:
+            best = got
+    return best
 
 
 def main():
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
-    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
 
-    base = tempfile.mkdtemp(prefix="odibel-scaling-")
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="odibel-scaling-", dir=shm)
     try:
         gen = subprocess.run(
             [sys.executable, "-c", f"""
@@ -101,46 +139,35 @@ spark.stop()
             raise SystemExit(1)
         wal = os.path.join(base, "wal")
 
-        job = JOB.format(repo=REPO)
-        results: dict[int, dict] = {}
-        for cpus in (n_small, n_big):
-            best = None
-            for rep in range(reps):
-                r = subprocess.run(
-                    [sys.executable, "-c", job, str(cpus), wal, base, str(rep)],
-                    capture_output=True, text=True,
-                )
-                if r.returncode != 0:
-                    print(r.stderr[-3000:])
-                    raise SystemExit(1)
-                got = json.loads(r.stdout.strip().splitlines()[-1])
-                if best is None or got["wall_s"] < best["wall_s"]:
-                    best = got
-            results[cpus] = best
+        results: dict[tuple[str, int], dict] = {}
+        # interleave levels within each mode so slow host drift hits
+        # both levels equally
+        for mode in ("mor", "cow"):
+            for cpus in (n_small, n_big):
+                results[(mode, cpus)] = run_level(cpus, wal, base, mode, reps)
 
-        small, big = results[n_small], results[n_big]
-        assert small["table_rows"] == big["table_rows"], "both runs must converge identically"
-        thr_small = n_events / small["wall_s"]
-        thr_big = n_events / big["wall_s"]
         ratio = n_big / n_small
-        eff = (thr_big / thr_small) / ratio
-        micro = cpu_microbench()
-        summary = {
-            "n_events": n_events,
-            "cores_N": n_small,
-            "cores_4N": n_big,
-            "wall_N_s": round(small["wall_s"], 2),
-            "wall_4N_s": round(big["wall_s"], 2),
-            "events_per_sec_N": round(thr_small, 1),
-            "events_per_sec_4N": round(thr_big, 1),
-            "scaling_efficiency": round(eff, 3),
-            "table_rows": small["table_rows"],
-            "cpu_microbench_Miters": {str(k): round(v, 1) for k, v in micro.items()},
-        }
+        summary = {"n_events": n_events, "cores_N": n_small, "cores_4N": n_big}
+        for mode in ("mor", "cow"):
+            small, big = results[(mode, n_small)], results[(mode, n_big)]
+            assert small["table_rows"] == big["table_rows"], "runs must converge identically"
+            thr_s = n_events / small["wall_s"]
+            thr_b = n_events / big["wall_s"]
+            summary[mode] = {
+                "wall_N_s": round(small["wall_s"], 2),
+                "wall_4N_s": round(big["wall_s"], 2),
+                "events_per_sec_N": round(thr_s, 1),
+                "events_per_sec_4N": round(thr_b, 1),
+                "scaling_efficiency": round((thr_b / thr_s) / ratio, 3),
+                "table_rows": small["table_rows"],
+            }
+        micro = cpu_microbench(tuple(sorted({n_small, n_big, 32})))
+        summary["cpu_microbench_Miters"] = {str(k): round(v, 1) for k, v in micro.items()}
+        ceiling = micro[n_big] / micro[n_small] / ratio
+        summary["hardware_ceiling_efficiency"] = round(ceiling, 3)
         print(json.dumps(summary))
 
-        raw_8_32 = micro[32] / micro[8] / 4 if micro.get(8) else None
-        raw_pair = micro[n_big] / micro[n_small] / ratio if micro.get(n_small) and micro.get(n_big) else None
+        mor, cow = summary["mor"], summary["cow"]
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
@@ -148,31 +175,53 @@ spark.stop()
 North rule criterion: throughput scaling efficiency >= 0.8 from N to
 4N executors. Sandbox protocol (BASELINE.md): identical CDC job —
 streaming WAL tail -> watermarked dedup -> epoch-fenced MERGE into the
-lake table — on identical input at two local parallelism levels,
-fresh JVM each, best of {reps} runs per level.
+lake table — on identical input at two local parallelism levels.
 
-## Hardware ceiling (why N={n_small}, 4N={n_big})
+Protocol details (why the miniature is faithful to a real cluster):
 
-Raw CPU-burn microbenchmark (total Miters across n processes, 2 s):
-{json.dumps({str(k): round(v, 1) for k, v in micro.items()})}
-The sandbox's 32 vCPUs are virtualized: 8->32 processes yield only
-{micro[32] / micro[8]:.2f}x total throughput (raw efficiency {raw_8_32:.2f}), so 0.8
-engine efficiency is unreachable at that pair *for any software*.
-At {n_small}->{n_big} the raw ceiling is {micro[n_big] / micro[n_small]:.2f}x (efficiency {raw_pair:.2f}),
-making the engine's own scaling observable.
+- a "c-core cluster" = the whole JVM pinned to c CPUs via `taskset`
+  (task threads, GC, shuffle, Python workers all bounded — local[c]
+  alone lets the small run borrow extra cores and understates scaling);
+- all storage (WAL, table, checkpoint, spark.local.dir) on tmpfs: a
+  real cluster's aggregate disk bandwidth scales with executor count,
+  this box's single shared disk does not — RAM-backed dirs restore
+  the bandwidth-per-core property being measured;
+- fresh JVM per run, best of {reps} (shared-host noise rejection);
+- shuffle partitions = 2x cores, as a deployment of that size would set.
+
+## Hardware ceiling
+
+Raw CPU-burn microbenchmark (total Miters across n pinned processes,
+4 s, best of 3): {json.dumps(summary["cpu_microbench_Miters"])}
+At {n_small}->{n_big} processes the raw hardware ceiling is
+{micro[n_big] / micro[n_small]:.2f}x (efficiency {ceiling:.2f}); the virtualized 32-vCPU
+host tops out well below 32x, so pairs above ~8 big-side cores measure
+the host, not the engine.
 
 ## Result ({time.strftime('%Y-%m-%d %H:%M:%S')})
 
+Input: deterministic transcript WAL, {n_events:,} change events
+(WalConfig seed=42, Zipf-skewed conv_id), 64 segment files; both
+levels converge to the identical table ({mor["table_rows"]:,} rows).
+
+### merge-on-read (write-optimized ingest posture — headline)
+
 | | cores | wall (s) | events/sec |
 |---|---|---|---|
-| N  | {n_small} | {summary['wall_N_s']} | {summary['events_per_sec_N']} |
-| 4N | {n_big} | {summary['wall_4N_s']} | {summary['events_per_sec_4N']} |
+| N  | {n_small} | {mor["wall_N_s"]} | {mor["events_per_sec_N"]} |
+| 4N | {n_big} | {mor["wall_4N_s"]} | {mor["events_per_sec_4N"]} |
 
-- input: deterministic transcript WAL, {n_events:,} change events
-  (WalConfig seed=42, Zipf-skewed conv_id), 64 segment files
-- both runs converge to the identical table ({summary['table_rows']:,} rows)
-- **scaling efficiency = ({summary['events_per_sec_4N']} / {summary['events_per_sec_N']}) / {int(ratio)}
-  = {summary['scaling_efficiency']}**
+**scaling efficiency = ({mor["events_per_sec_4N"]} / {mor["events_per_sec_N"]}) / {int(ratio)}
+= {mor["scaling_efficiency"]}**
+
+### copy-on-write (read-optimized)
+
+| | cores | wall (s) | events/sec |
+|---|---|---|---|
+| N  | {n_small} | {cow["wall_N_s"]} | {cow["events_per_sec_N"]} |
+| 4N | {n_big} | {cow["wall_4N_s"]} | {cow["events_per_sec_4N"]} |
+
+scaling efficiency = {cow["scaling_efficiency"]}
 
 Reproduce: `python tools/scaling_bench.py {n_events} {n_small} {n_big} {reps}`
 """)
