@@ -39,7 +39,10 @@ ANALYTICS = [
     "star_join_topk",
     "text_quality",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "sim_cosine_topk",
+    "as_of_lookup",
+    "cdc_interval_marks",
 ]
 
 

@@ -86,10 +86,66 @@ def normalize_batch(df: DataFrame, use_pandas: bool = False) -> DataFrame:
 
 
 def discover_wal_schema(spark: SparkSession, wal_dirs: list[str]) -> T.StructType:
-    """Unified schema across all WAL file generations (mergeSchema scan
-    of footers only — no data read)."""
-    df = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(*wal_dirs)
+    """Unified schema across all WAL file generations.
+
+    Driver-side pyarrow footer reads, one file per directory: a
+    generation (v1/, v2/, …) is schema-homogeneous, so sampling one
+    footer per directory sees every schema without launching the
+    mergeSchema Spark job the naive spelling costs on every
+    start/restart. Falls back to the distributed mergeSchema scan for
+    non-local paths."""
+    import os
+
+    local_dirs = [d for d in wal_dirs if "://" not in d or d.startswith("file:")]
+    if len(local_dirs) == len(wal_dirs):
+        import pyarrow.parquet as pq
+
+        fields: dict[str, T.StructField] = {}
+        for root in (d.removeprefix("file:") for d in wal_dirs):
+            for dirpath, _dirs, names in os.walk(root):
+                _dirs.sort()  # deterministic generation order (v1 before v2)
+                sample = next((n for n in sorted(names) if n.endswith(".parquet")), None)
+                if sample is None:
+                    continue
+                arrow = pq.read_schema(os.path.join(dirpath, sample))
+                spark_schema = _arrow_to_spark(arrow)
+                for f in spark_schema.fields:
+                    fields.setdefault(f.name, f)
+        if fields:
+            return T.StructType(list(fields.values()))
+    df = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(*wal_dirs)
+    )
     return df.schema
+
+
+def _arrow_to_spark(arrow_schema) -> T.StructType:
+    """Minimal arrow→spark type mapping for WAL payload columns."""
+    import pyarrow as pa
+
+    out = []
+    for f in arrow_schema:
+        t = f.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            st = T.StringType()
+        elif pa.types.is_int64(t):
+            st = T.LongType()
+        elif pa.types.is_int32(t):
+            st = T.IntegerType()
+        elif pa.types.is_float64(t):
+            st = T.DoubleType()
+        elif pa.types.is_float32(t):
+            st = T.FloatType()
+        elif pa.types.is_boolean(t):
+            st = T.BooleanType()
+        elif pa.types.is_timestamp(t):
+            st = T.TimestampType()
+        else:
+            raise TypeError(f"unsupported WAL column type {t} for {f.name}")
+        out.append(T.StructField(f.name, st, f.nullable))
+    return T.StructType(out)
 
 
 def diff_new_fields(

@@ -216,7 +216,10 @@ class TranscriptCdcPipeline:
                         for f in dl.schema().fields
                     ]
                 )
-                dl.append(out, summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id})
+                # dead letters are a trickle — one output file keeps the
+                # commit (and its footer bookkeeping) off the batch's
+                # critical path
+                dl.append(out.coalesce(1), summary={"stream_id": self.cfg.stream_id, "epoch": epoch_id})
 
             gc_below = None
             if self.cfg.tombstone_gc_lsn_slack is not None and lineage_rows:

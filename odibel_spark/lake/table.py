@@ -272,7 +272,7 @@ class LakeTable:
             out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
         else:
             df.write.mode("errorifexists").parquet(commit_dir)
-        files = []
+        found: list[tuple[str, int | None]] = []
         for dirpath, _dirs, names in os.walk(commit_dir):
             b = None
             base = os.path.basename(dirpath)
@@ -280,16 +280,23 @@ class LakeTable:
                 b = int(base.split("=", 1)[1])
             for n in sorted(names):
                 if n.endswith(".parquet"):
-                    p = os.path.join(dirpath, n)
-                    files.append(
-                        {
-                            "path": os.path.relpath(p, self.root),
-                            "bucket": b,
-                            "rows": _file_rows(p),
-                            "bytes": os.path.getsize(p),
-                        }
-                    )
-        return files
+                    found.append((os.path.join(dirpath, n), b))
+        # footer reads are driver-side IO — overlap them; a serial walk
+        # over hundreds of commit files otherwise sits on the streaming
+        # batch's critical path
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            rows = list(ex.map(lambda fb: _file_rows(fb[0]), found))
+        return [
+            {
+                "path": os.path.relpath(p, self.root),
+                "bucket": b,
+                "rows": r,
+                "bytes": os.path.getsize(p),
+            }
+            for (p, b), r in zip(found, rows)
+        ]
 
     def files(self, version: int | None = None, buckets: set[int] | None = None) -> list[dict]:
         fs = self.manifest(version)["files"]

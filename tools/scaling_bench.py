@@ -94,23 +94,18 @@ def cpu_microbench(levels: tuple[int, ...], reps: int = 3) -> dict[int, float]:
     return out
 
 
-def run_level(cpus: int, wal: str, base: str, mode: str, reps: int) -> dict:
+def run_once(cpus: int, wal: str, base: str, mode: str, rep: int) -> dict:
     job = JOB.format(repo=REPO)
     cores = ",".join(str(i) for i in range(cpus))
-    best = None
-    for rep in range(reps):
-        r = subprocess.run(
-            ["taskset", "-c", cores, sys.executable, "-c", job,
-             str(cpus), wal, base, str(rep), mode],
-            capture_output=True, text=True,
-        )
-        if r.returncode != 0:
-            print(r.stderr[-3000:])
-            raise SystemExit(1)
-        got = json.loads(r.stdout.strip().splitlines()[-1])
-        if best is None or got["wall_s"] < best["wall_s"]:
-            best = got
-    return best
+    r = subprocess.run(
+        ["taskset", "-c", cores, sys.executable, "-c", job,
+         str(cpus), wal, base, str(rep), mode],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        raise SystemExit(1)
+    return json.loads(r.stdout.strip().splitlines()[-1])
 
 
 def main():
@@ -139,12 +134,16 @@ spark.stop()
             raise SystemExit(1)
         wal = os.path.join(base, "wal")
 
+        # interleave modes AND levels within each rep so shared-host
+        # load drift hits every cell equally; keep the best per cell
         results: dict[tuple[str, int], dict] = {}
-        # interleave levels within each mode so slow host drift hits
-        # both levels equally
-        for mode in ("mor", "cow"):
-            for cpus in (n_small, n_big):
-                results[(mode, cpus)] = run_level(cpus, wal, base, mode, reps)
+        for rep in range(reps):
+            for mode in ("mor", "cow"):
+                for cpus in (n_small, n_big):
+                    got = run_once(cpus, wal, base, mode, rep)
+                    key = (mode, cpus)
+                    if key not in results or got["wall_s"] < results[key]["wall_s"]:
+                        results[key] = got
 
         ratio = n_big / n_small
         summary = {"n_events": n_events, "cores_N": n_small, "cores_4N": n_big}
