@@ -63,6 +63,8 @@ def main() -> None:
     )
 
     spark = get_spark("odibel-bench", cpus=CPUS, shuffle_partitions=CPUS * 2)
+    # warmup: pay session/JIT/codegen startup outside the measured loop
+    materialize(spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).groupBy("event_type").count())
     t_all = time.time()
     queries: dict[str, float] = {}
 
