@@ -354,7 +354,54 @@ def q_graph_components(spark, sf_dir):
     )
 
 
+def q_stream_windowed_counts(spark, sf_dir):
+    """Watermarked event-time window rollup (batch mode = the
+    late-data-complete oracle the streaming run converges to)."""
+    from odibel_spark.streaming import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(ev, "ts", "1 day", group_cols=["event_type"])
+    # epoch seconds, not timestamps: hash-stable across engines/tz reprs
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_sec"), "event_type", "n_events"
+    )
+
+
 # ----- engine-native (no SQL oracle: rows-only driver check) ----------
+def q_stream_running_state(spark, sf_dir):
+    """applyInPandasWithState custom stateful operator over a generated
+    WAL stream: per-conversation applied-LSN HWM + event count carried
+    across micro-batches in managed state (no SQL equivalent — the
+    driver records a rows-only check)."""
+    from odibel_spark.cdc import WalConfig, write_wal_files
+    from odibel_spark.streaming import running_turn_state
+
+    base = tempfile.mkdtemp(prefix="odibel-state-")
+    cfg = WalConfig(n_events=3000, n_convs=50, seed=23)
+    wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=3)
+    schema = spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(wal).schema
+    stream = (
+        spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1).parquet(wal)
+    )
+    name = f"state_{os.path.basename(base).replace('-', '_')}"
+    q = (
+        running_turn_state(stream, "conv_id")
+        .writeStream.format("memory").queryName(name).outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.sql(f"SELECT * FROM {name}")
+    return (
+        emissions.groupBy("conv_id")
+        .agg(
+            F.max("applied_lsn_hwm").alias("applied_lsn_hwm"),
+            F.max("n_events_total").alias("n_events_total"),
+        )
+        .orderBy("conv_id")
+    )
 def q_transcript_cdc_replay(spark, sf_dir):
     """The actual CDC engine end-to-end in batch-over-stream mode:
     deterministic WAL → streaming pipeline (epoch-fenced MERGE into the
@@ -425,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_interval_marks": q_cdc_interval_marks,
         "as_of_lookup": q_as_of_lookup,
         "graph_components": q_graph_components,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        "stream_running_state": q_stream_running_state,
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "multimodal_features": q_multimodal_features,
     }
@@ -835,6 +884,12 @@ WITH sigs AS (SELECT vec_id, {_sig_terms} AS sig FROM embeddings),
 bands AS ({_band_sel})
 SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+"""
+
+    sql["stream_windowed_counts"] = f"""
+SELECT CAST(floor({_EPOCH} / 86400) * 86400 AS BIGINT) AS window_start_sec,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
 """
 
     step = 86400 * 30
