@@ -52,7 +52,17 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    The shingle projection is the CPU-heavy stage (normalize + O(len)
+    slices per doc); when the input arrives in fewer partitions than
+    cores (one small parquet file), it is re-spread first — shuffling
+    raw doc rows is far cheaper than serializing the shingle compute
+    on one core. Inputs already wider than the core count (any real
+    corpus) skip the exchange."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism, F.col(id_col))
     toks = F.split(normalized_text(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
@@ -101,8 +111,12 @@ def minhash_signatures(
     """K-permutation MinHash: sig_i = min over shingles of
     (a_i*h + b_i) mod P, h = md5-derived shingle hash. One explode +
     one groupBy — the signature table is K longs per document."""
-    sh = word_shingles(docs, id_col, text_col, n)
-    h = _str_hash(F.col("shingle"))
+    # hash each shingle ONCE (md5 + base conversion is the expensive
+    # part); the K permutations are cheap integer arithmetic over it
+    sh = word_shingles(docs, id_col, text_col, n).withColumn(
+        "_h", _str_hash(F.col("shingle"))
+    )
+    h = F.col("_h")
     aggs = []
     for i in range(k):
         a_i, b_i = 2 * i + 1, 7919 * (i + 1)
@@ -133,12 +147,34 @@ def minhash_lsh_candidates(
     buckets = sig.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bkey")
+    return _bucket_pairs(buckets, id_col)
+
+
+def _bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+    """(band, bkey, id) → distinct candidate pairs (id_a < id_b).
+
+    One groupBy + in-bucket pair explosion, NOT a bucket self-join: a
+    self-join re-executes the whole upstream lineage (shingles,
+    signatures) once per side, and its pair materialization shuffles
+    every collision twice. Bucket member lists are small by
+    construction (a bucket is a near-duplicate cluster), so the
+    quadratic expansion stays inside one task per bucket."""
+    grouped = (
+        buckets.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_lists = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+        ),
+    )
     return (
-        l.join(r, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(F.flatten(pair_lists)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -267,19 +303,14 @@ def embedding_lsh_candidates(
     sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
     rows = n_planes // bands
     mask = (1 << rows) - 1
-    bands_df = None
-    for b in range(bands):
-        band = sigs.select(
-            F.col(id_col),
+    band_structs = [
+        F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).alias("bkey"),
+            F.shiftright(F.col("sig"), b * rows).bitwiseAND(F.lit(mask)).cast("string").alias("bkey"),
         )
-        bands_df = band if bands_df is None else bands_df.unionByName(band)
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "bkey")
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "bkey")
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    return _bucket_pairs(buckets, id_col)
