@@ -8,3 +8,5 @@ from odibel_spark.sources.rdf import (  # noqa: F401
     serialize_ntriples,
     validate_triples,
 )
+from odibel_spark.sources.csv_ingest import csv_to_parquet, read_csv, write_csv  # noqa: F401
+from odibel_spark.sources.kafka import decode_kafka_wal, encode_as_kafka  # noqa: F401
