@@ -368,6 +368,29 @@ class TranscriptCdcPipeline:
             .start()
         )
 
+    # ------------------------------------------------------- maintenance
+    def maintenance(self, keep_versions: int = 2, compact: bool = True) -> dict:
+        """Off-critical-path housekeeping (run from a separate process
+        or between drains — commits are snapshot-isolated, readers are
+        unaffected): MoR compaction folding delta files to one row per
+        key, then vacuum of unreferenced data files (crash orphans +
+        copy-on-write leftovers) beyond ``keep_versions`` snapshots."""
+        table = LakeTable.load(self.spark, self.table_root)
+        out: dict = {}
+        if compact and table.properties().get("merge_mode") == "mor":
+            from odibel_spark.lake.merge import compact_buckets
+
+            gc_below = None
+            if self.cfg.tombstone_gc_lsn_slack is not None:
+                lin = self.lineage().agg(F.max("max_lsn")).collect()[0][0]
+                if lin is not None:
+                    gc_below = max(int(lin) - self.cfg.tombstone_gc_lsn_slack, 0)
+            compact_buckets(table, tombstone_gc_below_lsn=gc_below, summary={"op": "maintenance"})
+            out["compacted"] = True
+        removed = table.vacuum(keep_versions=keep_versions)
+        out["vacuumed_files"] = len(removed)
+        return out
+
     # --------------------------------------------------------- accessors
     def table(self) -> LakeTable:
         return LakeTable.load(self.spark, self.table_root)

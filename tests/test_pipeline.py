@@ -207,3 +207,24 @@ def test_normalizer_promotes_legacy_variants(spark):
     # agree exactly with the codegen expression path
     pd_out = normalize_batch(df, use_pandas=True).collect()
     assert pd_out == out
+
+
+def test_maintenance_compacts_and_vacuums(spark, wal_dir, tmpdir_path):
+    base = os.path.join(tmpdir_path, "maint")
+    os.makedirs(base)
+    p = run_pipeline(
+        spark, wal_dir, base, max_files_per_trigger=2,
+        merge_mode="mor", compact_every_epochs=None,
+    )
+    exp = oracle_state(spark, CFG)
+    n_files_before = len(p.table().files())
+    out = p.maintenance(keep_versions=1)
+    assert out["compacted"] and out["vacuumed_files"] > 0
+    # compaction bounds files to one set per bucket; data unchanged
+    assert len(p.table().files()) <= n_files_before
+    cols = PAYLOAD_COLS
+    assert checksum(p.table().read().select(*cols), cols) == checksum(exp.select(*cols), cols)
+    # vacuumed files are really gone from disk; live files all present
+    import os as _os
+    for f in p.table().files():
+        assert _os.path.exists(_os.path.join(p.table_root, f["path"]))
