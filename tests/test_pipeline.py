@@ -228,3 +228,40 @@ def test_maintenance_compacts_and_vacuums(spark, wal_dir, tmpdir_path):
     import os as _os
     for f in p.table().files():
         assert _os.path.exists(_os.path.join(p.table_root, f["path"]))
+
+
+def test_randomized_multi_crash_gauntlet(spark, wal_dir, tmpdir_path):
+    """North-rule wording: byte-identical final table under RANDOMIZED
+    crash/restart. Seeded RNG picks several crash epochs; the pipeline
+    is killed after each corresponding lake commit (the worst ordering:
+    data committed, checkpoint not) and restarted, ending with a clean
+    drain. Both merge modes must converge to the batch oracle."""
+    import random
+
+    rng = random.Random(4242)
+    exp = oracle_state(spark, CFG)
+    cols = PAYLOAD_COLS
+    for mode in ("cow", "mor"):
+        base = os.path.join(tmpdir_path, f"gauntlet-{mode}")
+        os.makedirs(base)
+        crash_epochs = sorted(rng.sample(range(5), k=2))
+        for epoch in crash_epochs:
+            with pytest.raises(Exception):
+                run_pipeline(
+                    spark, wal_dir, base, max_files_per_trigger=1,
+                    merge_mode=mode, compact_every_epochs=3,
+                    fail_after_commit_epoch=epoch,
+                )
+        p = run_pipeline(
+            spark, wal_dir, base, max_files_per_trigger=1,
+            merge_mode=mode, compact_every_epochs=3,
+        )
+        got = p.table().read()
+        assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols), mode
+        # every applied epoch exactly once in the commit history
+        applied = [
+            m["summary"]["epoch"]
+            for m in p.table().history()
+            if m["summary"].get("op") in ("merge", "merge-mor") and "epoch" in m["summary"]
+        ]
+        assert len(applied) == len(set(applied)), f"{mode}: an epoch was applied twice"
