@@ -267,6 +267,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_candidates(d, "doc_id", "text", n=2, k=8, bands=4)
 
 
+def q_dedup_minhash_verified(spark, sf_dir):
+    """The 100 TB near-dup composition end-to-end: LSH candidate pairs →
+    exact Jaccard restricted to candidates. Same threshold as the
+    standalone quadratic query so results are directly comparable."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_near_duplicates(d, "doc_id", "text", n=2, threshold=0.08, k=8, bands=4)
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d, "doc_id", "text", bits=16)
@@ -278,7 +286,7 @@ def q_dedup_embedding_lsh(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return D.embedding_lsh_candidates(e, "vec_id", "embedding", n_planes=16, bands=2)
+    return D.embedding_lsh_candidates(e, "vec_id", "embedding", n_planes=16, bands=2, dim=64)
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -402,15 +410,46 @@ def q_stream_running_state(spark, sf_dir):
         )
         .orderBy("conv_id")
     )
+def _events_as_wal(ev: DataFrame) -> DataFrame:
+    """Deterministic transcript-WAL derivation from the shared `events`
+    table: every column is a pure function of (event_id, user_id,
+    event_type, ts), so the DuckDB oracle can replay the identical feed
+    in SQL. Exercises inserts/updates/deletes, dead letters (non-delete
+    null text) and legacy tool-alias promotion ('calc'→'calculator')."""
+    eid = F.col("event_id").cast("long")
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(eid, F.lit(40)).cast("int").alias("turn_idx"),
+        eid.alias("lsn"),
+        F.when(eid % 11 == 0, F.lit("delete"))
+        .when(eid % 3 == 0, F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_type").alias("role"),
+        F.when(eid % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.md5(eid.cast("string")))
+        .alias("text"),
+        F.when(eid % 5 == 0, F.lit("calc")).otherwise(F.lit("search")).alias("tool"),
+        F.col("ts"),
+    )
+
+
 def q_transcript_cdc_replay(spark, sf_dir):
     """The actual CDC engine end-to-end in batch-over-stream mode:
-    deterministic WAL → streaming pipeline (epoch-fenced MERGE into the
-    lake format) → final transcript table."""
-    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline, WalConfig, write_wal_files
+    WAL (derived from the shared events table) → streaming pipeline
+    (epoch-fenced MERGE-on-read into the lake format) → final
+    transcript table. Oracle: LWW replay in SQL over the same derived
+    feed (the north rule's final-table-state equality check).
 
-    cfg = WalConfig(n_events=4000, n_convs=60, seed=17)
+    In-stream watermark dedup is off here because the derived feed's
+    event times are in arbitrary order (the events table spans a year)
+    — the merge fold is the dedup correctness guarantee; the hazard
+    coverage for watermarked stream dedup lives in tests/."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
+
     base = tempfile.mkdtemp(prefix="odibel-entry-")
-    wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=4)
+    wal = os.path.join(base, "wal")
+    _events_as_wal(_t(spark, sf_dir, "events")).repartition(4).write.parquet(wal)
     p = TranscriptCdcPipeline(
         spark,
         PipelineConfig(
@@ -418,20 +457,39 @@ def q_transcript_cdc_replay(spark, sf_dir):
             table_root=os.path.join(base, "transcripts"),
             checkpoint_dir=os.path.join(base, "ckpt"),
             buckets=8,
+            merge_mode="mor",
+            dedup_in_stream=False,
         ),
     )
     p.run_available()
-    return p.table().read().orderBy("conv_id", "turn_idx")
+    return p.table().read().select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_timestamp("ts").alias("t_sec"),
+        F.col("_lsn").alias("applied_lsn"),
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + Arrow mapInPandas
-    feature extraction (decode stubbed — no codecs in image)."""
+    feature extraction (decode stubbed — no codecs in image).
+
+    The fake blob is md5-derived from doc_id, so the features are
+    engine-reproducible: the DuckDB oracle recomputes them from the hex
+    digest. The histogram array is projected through concat_ws — the
+    driver's pandas canonicalizer can't sort list-valued columns."""
     from odibel_spark.functions.multimodal import attach_fake_media, extract_media_features
 
-    d = _t(spark, sf_dir, "documents").select("doc_id").limit(200)
+    d = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
     media = attach_fake_media(d, "doc_id")
-    return extract_media_features(media, "doc_id", decode="fake")
+    feats = extract_media_features(media, "doc_id", decode="fake")
+    return feats.select(
+        "id",
+        "n_bytes",
+        F.round("byte_mean", 6).alias("byte_mean"),
+        F.concat_ws(",", F.transform("byte_histogram", lambda x: x.cast("string"))).alias(
+            "byte_histogram"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -464,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -633,8 +692,8 @@ marks AS (
     WHERE t_end <> {_OPEN_END}
 )
 SELECT bucket,
-       sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN kind = -1 THEN 1 ELSE 0 END) AS n_close
+       CAST(sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN kind = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
 FROM marks GROUP BY bucket
 """
 
@@ -668,11 +727,11 @@ FROM snap_b b FULL OUTER JOIN snap_a a USING (user_id, event_type)
     sql["cdc_snapshot_stats"] = f"""
 WITH {_WINDOWS_CTE.strip()}
 SELECT count(*) AS n_windows,
-       sum(CASE WHEN t_start <= {T1} AND {T1} < t_end THEN 1 ELSE 0 END) AS first_size,
-       sum(CASE WHEN t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS last_size,
-       sum(CASE WHEN t_start <= {T1} AND {T1} < t_end AND t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS static_core,
-       sum(CASE WHEN t_start > {T1} THEN 1 ELSE 0 END) AS n_added,
-       sum(CASE WHEN t_end <> {_OPEN_END} THEN 1 ELSE 0 END) AS n_closed
+       CAST(sum(CASE WHEN t_start <= {T1} AND {T1} < t_end THEN 1 ELSE 0 END) AS BIGINT) AS first_size,
+       CAST(sum(CASE WHEN t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS BIGINT) AS last_size,
+       CAST(sum(CASE WHEN t_start <= {T1} AND {T1} < t_end AND t_start <= {T2} AND {T2} < t_end THEN 1 ELSE 0 END) AS BIGINT) AS static_core,
+       CAST(sum(CASE WHEN t_start > {T1} THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN t_end <> {_OPEN_END} THEN 1 ELSE 0 END) AS BIGINT) AS n_closed
 FROM windows
 """
 
@@ -817,6 +876,7 @@ FROM fp GROUP BY fp HAVING count(*) > 1
     sql["dedup_ngram_jaccard"] = _jaccard_sql(2, 0.08)
     sql["dedup_minhash_signatures"] = _minhash_sql(2, 8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
+    sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
     sql["dedup_simhash"] = _simhash_sql(16)
 
     sql["dedup_embedding_cosine"] = """
@@ -924,6 +984,53 @@ matched AS (
     FROM q LEFT JOIN s ON s.user_id = q.user_id AND s.t_sec <= q.t_sec
 )
 SELECT user_id, event_id, t_sec, login_value FROM matched WHERE rn = 1
+"""
+
+    # the pipeline's final table state = SQL LWW replay of the same
+    # deterministically-derived WAL (see _events_as_wal): dead letters
+    # excluded, delete winners dropped, 'calc' promoted to 'calculator'
+    sql["transcript_cdc_replay"] = f"""
+WITH wal AS (
+    SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(event_id % 40 AS INT) AS turn_idx,
+           CAST(event_id AS BIGINT) AS lsn,
+           CASE WHEN event_id % 11 = 0 THEN 'delete'
+                WHEN event_id % 3 = 0 THEN 'insert' ELSE 'update' END AS op,
+           event_type AS role,
+           CASE WHEN event_id % 97 = 0 THEN NULL
+                ELSE md5(CAST(event_id AS VARCHAR)) END AS text,
+           CASE WHEN event_id % 5 = 0 THEN 'calculator' ELSE 'search' END AS tool,
+           {_EPOCH} AS t_sec
+    FROM events
+),
+ok AS (SELECT * FROM wal WHERE NOT (op <> 'delete' AND text IS NULL)),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+    FROM ok
+)
+SELECT conv_id, turn_idx, role, text, tool, t_sec, lsn AS applied_lsn
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+"""
+
+    # fake media blob = unhex(md5(doc_id) * 4) — 64 deterministic bytes
+    # the oracle recomputes from the hex digest (2 hex chars per byte)
+    sql["multimodal_features"] = """
+WITH hexes AS (
+    SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 4) AS h
+    FROM documents WHERE doc_id < 200
+),
+b AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, 64),
+                          i -> CAST(('0x' || substring(h, 2*i-1, 2)) AS INT)) AS bs
+    FROM hexes
+)
+SELECT CAST(doc_id AS BIGINT) AS id,
+       CAST(64 AS INT) AS n_bytes,
+       round(list_sum(bs) / 64.0, 6) AS byte_mean,
+       array_to_string(list_transform([0, 1, 2, 3],
+           q -> CAST(len(list_filter(bs, x -> (x >> 6) = q)) AS VARCHAR)), ',') AS byte_histogram
+FROM b
 """
 
     sql["graph_components"] = f"""

@@ -51,18 +51,41 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def word_shingles(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Rough scan width from the *logical* plan's size statistics —
+    driver-side only, never a Spark job and never an RDD conversion
+    (``.rdd`` forces physical planning + a conversion boundary into
+    every downstream plan). At 100 TB the estimate is huge and the
+    re-spread below is skipped for free."""
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        return max(1, -(-size // max(mpb, 1)))
+    except Exception:
+        return None
+
+
+def word_shingles(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_parallelism: int | None = None,
+) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     The shingle projection is the CPU-heavy stage (normalize + O(len)
-    slices per doc); when the input arrives in fewer partitions than
-    cores (one small parquet file), it is re-spread first — shuffling
+    slices per doc); when the input scan is estimated narrower than the
+    cluster (one small parquet file), it is re-spread first — shuffling
     raw doc rows is far cheaper than serializing the shingle compute
-    on one core. Inputs already wider than the core count (any real
-    corpus) skip the exchange."""
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism, F.col(id_col))
+    on one core. The width estimate comes from logical-plan size stats
+    (no job, no RDD conversion); inputs already wider than the core
+    count (any real corpus) skip the exchange."""
+    target = min_parallelism or docs.sparkSession.sparkContext.defaultParallelism
+    width = _estimated_scan_partitions(docs)
+    if width is not None and width < target:
+        docs = docs.repartition(target, F.col(id_col))
     toks = F.split(normalized_text(F.col(text_col)), r"\s+")
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
@@ -180,12 +203,18 @@ def _bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
 
 
 def minhash_near_duplicates(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact Jaccard verification
     restricted to candidates (semi-join pushes the filter into the
     shingle join)."""
-    cand = minhash_lsh_candidates(docs, id_col, text_col, n)
+    cand = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands)
     sh = word_shingles(docs, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -290,15 +319,19 @@ def embedding_lsh_candidates(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Banded LSH over hyperplane signatures: two vectors are candidate
     near-duplicates if any band of sign-bits matches exactly. Replaces
     the O(N^2) cross join of ``embedding_near_duplicates`` with a
     bucket equi-join — the 10^9-vector path; verify survivors with the
-    exact cosine afterwards."""
-    dim = None  # planes are dim-dependent; sample one row for the width
-    first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(first["d"])
+    exact cosine afterwards.
+
+    Pass ``dim`` (the embedding width — the caller's schema knows it)
+    to keep plan construction fully lazy; the ``.first()`` probe
+    fallback launches a Spark job per pipeline assembly."""
+    if dim is None:  # fallback probe — an eager job; prefer passing dim
+        dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     planes = random_hyperplanes(dim, n_planes, seed)
     sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
     rows = n_planes // bands
