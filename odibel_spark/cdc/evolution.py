@@ -59,8 +59,13 @@ normalize_role = _alias_normalizer(ROLE_ALIASES)
 def _alias_expr(col: str, aliases: dict[str, str]) -> F.Column:
     """Same promotion as the pandas normalizer, as a pure Column
     expression: map-literal lookup with identity fallback. Stays inside
-    whole-stage codegen — no Python worker, no Arrow hop."""
-    cleaned = F.lower(F.trim(F.col(col)))
+    whole-stage codegen — no Python worker, no Arrow hop.
+
+    Whitespace handling matches pandas ``str.strip()`` exactly (ALL
+    whitespace, not just spaces — ``F.trim`` strips only ``' '``), so
+    both paths normalize ``'calc\\t'`` identically; test_pipeline
+    asserts the equality including tab/newline padding."""
+    cleaned = F.lower(F.regexp_replace(F.col(col), r"^\s+|\s+$", ""))
     amap = F.create_map(*[F.lit(x) for kv in aliases.items() for x in kv])
     return F.coalesce(F.element_at(amap, cleaned), cleaned)
 
@@ -88,31 +93,38 @@ def normalize_batch(df: DataFrame, use_pandas: bool = False) -> DataFrame:
 def discover_wal_schema(spark: SparkSession, wal_dirs: list[str]) -> T.StructType:
     """Unified schema across all WAL file generations.
 
-    Driver-side pyarrow footer reads, one file per directory: a
-    generation (v1/, v2/, …) is schema-homogeneous, so sampling one
-    footer per directory sees every schema without launching the
-    mergeSchema Spark job the naive spelling costs on every
-    start/restart. Falls back to the distributed mergeSchema scan for
-    non-local paths."""
+    Local paths: driver-side pyarrow footer reads of EVERY file
+    (overlapped on a thread pool — footers are a few KB each), so a
+    schema that evolves *within* one directory is still unioned; no
+    mergeSchema Spark job on every start/restart. Any footer carrying a
+    type outside the WAL whitelist (decimal/list/struct/…) falls back
+    to the distributed mergeSchema scan, which handles the full parquet
+    type surface. Non-local paths always take the distributed scan."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     local_dirs = [d for d in wal_dirs if "://" not in d or d.startswith("file:")]
     if len(local_dirs) == len(wal_dirs):
         import pyarrow.parquet as pq
 
-        fields: dict[str, T.StructField] = {}
+        paths: list[str] = []
         for root in (d.removeprefix("file:") for d in wal_dirs):
             for dirpath, _dirs, names in os.walk(root):
                 _dirs.sort()  # deterministic generation order (v1 before v2)
-                sample = next((n for n in sorted(names) if n.endswith(".parquet")), None)
-                if sample is None:
-                    continue
-                arrow = pq.read_schema(os.path.join(dirpath, sample))
-                spark_schema = _arrow_to_spark(arrow)
-                for f in spark_schema.fields:
+                paths.extend(
+                    os.path.join(dirpath, n) for n in sorted(names) if n.endswith(".parquet")
+                )
+        try:
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                arrow_schemas = list(ex.map(pq.read_schema, paths))
+            fields: dict[str, T.StructField] = {}
+            for arrow in arrow_schemas:
+                for f in _arrow_to_spark(arrow).fields:
                     fields.setdefault(f.name, f)
-        if fields:
-            return T.StructType(list(fields.values()))
+            if fields:
+                return T.StructType(list(fields.values()))
+        except TypeError:
+            pass  # exotic column type → the distributed scan handles it
     df = (
         spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")

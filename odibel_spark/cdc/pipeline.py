@@ -369,12 +369,23 @@ class TranscriptCdcPipeline:
         )
 
     # ------------------------------------------------------- maintenance
-    def maintenance(self, keep_versions: int = 2, compact: bool = True) -> dict:
-        """Off-critical-path housekeeping (run from a separate process
-        or between drains — commits are snapshot-isolated, readers are
-        unaffected): MoR compaction folding delta files to one row per
-        key, then vacuum of unreferenced data files (crash orphans +
-        copy-on-write leftovers) beyond ``keep_versions`` snapshots."""
+    def maintenance(
+        self,
+        keep_versions: int = 2,
+        compact: bool = True,
+        vacuum_grace_seconds: float = 600.0,
+    ) -> dict:
+        """Off-critical-path housekeeping: MoR compaction folding delta
+        files to one row per key, then vacuum of unreferenced data
+        files (crash orphans + copy-on-write leftovers) beyond
+        ``keep_versions`` snapshots.
+
+        Safe to run from a separate process while the stream drains:
+        compaction pins the snapshot it folded and ABORTS with
+        CommitConflict if a merge lands in the meantime (never dropping
+        the merge's rows — it retries from the fresh snapshot a few
+        times first), and vacuum skips uncommitted commit dirs plus a
+        mtime grace window so an in-flight writer's files survive."""
         table = LakeTable.load(self.spark, self.table_root)
         out: dict = {}
         if compact and table.properties().get("merge_mode") == "mor":
@@ -387,7 +398,7 @@ class TranscriptCdcPipeline:
                     gc_below = max(int(lin) - self.cfg.tombstone_gc_lsn_slack, 0)
             compact_buckets(table, tombstone_gc_below_lsn=gc_below, summary={"op": "maintenance"})
             out["compacted"] = True
-        removed = table.vacuum(keep_versions=keep_versions)
+        removed = table.vacuum(keep_versions=keep_versions, grace_seconds=vacuum_grace_seconds)
         out["vacuumed_files"] = len(removed)
         return out
 

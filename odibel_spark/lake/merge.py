@@ -171,6 +171,7 @@ def merge_upsert(
             watermarks_update=watermarks_update,
         )
 
+    base_version = table.current_version()
     winners = last_writer_wins(source, key_cols, lsn_col) if fold else source
     winners = winners.withColumn("_sb", spec.expr())
 
@@ -198,7 +199,7 @@ def merge_upsert(
             src_cols.append(F.lit(None).cast(field.dataType).alias(f"_s_{c}"))
     src = winners.select(*src_cols)
 
-    target = table.read(buckets=touched, include_tombstones=True)
+    target = table.read(version=base_version, buckets=touched, include_tombstones=True)
 
     joined = target.join(src, on=key_cols, how="full_outer")
     apply = F.col("_s_lsn").isNotNull() & (
@@ -230,6 +231,7 @@ def merge_upsert(
         summary={"touched_buckets": sorted(touched), **(summary or {})},
         watermarks_update=watermarks_update,
         write_salt=write_salt,
+        base_version=base_version,
     )
 
 
@@ -238,13 +240,22 @@ def compact_buckets(
     buckets: set[int] | None = None,
     tombstone_gc_below_lsn: int | None = None,
     summary: dict | None = None,
+    retries: int = 3,
 ) -> dict:
     """MoR maintenance: rewrite buckets folding delta rows to one row
     per key (bounding read-time fold cost), optionally dropping
     tombstones whose LSN fence is safely below the stream
-    low-watermark. Safe to run concurrently with reads (snapshot
-    isolation); conflicts with a concurrent merge commit resolve by
-    optimistic retry in ``_next_commit``."""
+    low-watermark. Safe to run concurrently with readers (snapshot
+    isolation) AND with writers: the replacement is pinned to the
+    snapshot version it was folded from, so if a concurrent merge
+    lands delta files in the target buckets mid-compaction the commit
+    aborts (instead of silently dropping the merge's rows) and the
+    fold is recomputed from the fresh snapshot — compaction is
+    idempotent, so the retry is free of side effects. Raises
+    :class:`~odibel_spark.lake.table.CommitConflict` after ``retries``
+    lost races (a busy stream; rerun between drains)."""
+    from odibel_spark.lake.table import CommitConflict
+
     spec = table.bucket_spec()
     if spec is None:
         raise ValueError("compact_buckets requires a bucketed table")
@@ -253,28 +264,41 @@ def compact_buckets(
     keys = props.get("merge_keys")
     if not keys:
         raise ValueError("compact_buckets needs merge_keys table property (mor table)")
-    raw = table.read(buckets=target, include_tombstones=True, fold=False)
-    others = [c for c in raw.columns if c not in keys]
-    winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_FIELD)).alias("_w")
-    folded = (
-        raw.groupBy(*[F.col(k) for k in keys])
-        .agg(winner)
-        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
-    )
-    if tombstone_gc_below_lsn is not None:
-        folded = folded.filter(
-            ~(F.coalesce(F.col(DELETED_FIELD), F.lit(False)) & (F.col(LSN_FIELD) < F.lit(tombstone_gc_below_lsn)))
+    for attempt in range(retries):
+        base_version = table.current_version()
+        raw = table.read(version=base_version, buckets=target, include_tombstones=True, fold=False)
+        others = [c for c in raw.columns if c not in keys]
+        winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col(LSN_FIELD)).alias("_w")
+        folded = (
+            raw.groupBy(*[F.col(k) for k in keys])
+            .agg(winner)
+            .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
         )
-    return table.replace_buckets(
-        target, folded, summary={"op": "compact", **(summary or {})}
-    )
+        if tombstone_gc_below_lsn is not None:
+            folded = folded.filter(
+                ~(F.coalesce(F.col(DELETED_FIELD), F.lit(False)) & (F.col(LSN_FIELD) < F.lit(tombstone_gc_below_lsn)))
+            )
+        try:
+            return table.replace_buckets(
+                target, folded, summary={"op": "compact", **(summary or {})},
+                base_version=base_version,
+            )
+        except CommitConflict:
+            if attempt == retries - 1:
+                raise
+    raise CommitConflict("unreachable")
 
 
 def compact_tombstones(table: LakeTable, below_lsn: int) -> dict:
     """Standalone tombstone GC: rewrite every bucket dropping tombstones
-    whose fence LSN is safely below the stream low-watermark."""
+    whose fence LSN is safely below the stream low-watermark. Pinned to
+    the snapshot it reads — a concurrent merge aborts the commit rather
+    than losing rows (rerun between drains)."""
     spec = table.bucket_spec()
-    df = table.read(include_tombstones=True)
+    base_version = table.current_version()
+    df = table.read(version=base_version, include_tombstones=True)
     keep = df.filter(~(F.col(DELETED_FIELD) & (F.col(LSN_FIELD) < F.lit(below_lsn))))
     all_buckets = set(range(spec.buckets))
-    return table.replace_buckets(all_buckets, keep, summary={"op": "compact-tombstones"})
+    return table.replace_buckets(
+        all_buckets, keep, summary={"op": "compact-tombstones"}, base_version=base_version
+    )

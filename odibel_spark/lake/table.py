@@ -359,16 +359,28 @@ class LakeTable:
     def _next_commit(
         self,
         new_files: list[dict],
-        keep_files: list[dict],
+        keep: list[dict] | "object",
         summary: dict,
         watermarks_update: dict | None = None,
         schema: T.StructType | None = None,
         retries: int = 5,
     ) -> dict:
+        """Optimistic commit with retry. ``keep`` is either a callable
+        ``keep_fn(fresh_manifest) -> list[file dict]`` or a plain list.
+
+        The callable form is the concurrency-correct one: it is
+        re-evaluated against the FRESH manifest on every attempt, so a
+        retry after a lost race carries over the *winner's* files
+        instead of resurrecting a stale snapshot (which silently
+        dropped concurrently-committed data). A ``keep_fn`` may raise
+        :class:`CommitConflict` itself when the fresh state invalidates
+        the data the caller computed (see ``replace_buckets``)."""
+        keep_fn = keep if callable(keep) else (lambda _cur: keep)
         for attempt in range(retries):
             cur = self.manifest()
             wm = dict(cur.get("watermarks", {}))
             wm.update(watermarks_update or {})
+            keep_files = keep_fn(cur)
             try:
                 return self._commit(
                     version=cur["version"] + 1,
@@ -420,7 +432,7 @@ class LakeTable:
                 "bytes": os.path.getsize(path),
             }
         ]
-        return self._next_commit(new, cur["files"], {"op": "append", **(summary or {})})
+        return self._next_commit(new, lambda c: c["files"], {"op": "append", **(summary or {})})
 
     def append(
         self,
@@ -432,7 +444,7 @@ class LakeTable:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
         return self._next_commit(
-            new, cur["files"], {"op": "append", **(summary or {})}, watermarks_update
+            new, lambda c: c["files"], {"op": "append", **(summary or {})}, watermarks_update
         )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
@@ -443,25 +455,37 @@ class LakeTable:
     def commit_metadata(self, summary: dict, watermarks_update: dict | None = None) -> dict:
         """Metadata-only commit (e.g. advance an epoch watermark for an
         empty batch)."""
-        cur = self.manifest()
-        return self._next_commit([], cur["files"], summary, watermarks_update)
+        return self._next_commit([], lambda c: c["files"], summary, watermarks_update)
 
-    def add_columns(self, new_fields: list[T.StructField], summary: dict | None = None) -> dict:
+    def add_columns(
+        self, new_fields: list[T.StructField], summary: dict | None = None, retries: int = 5
+    ) -> dict:
         """Schema evolution: append columns. Existing files are
         untouched; readers see NULLs for old files (by-name parquet
-        resolution against the authoritative manifest schema)."""
-        cur_schema = self.schema()
-        existing = {f.name for f in cur_schema.fields}
-        added = [f for f in new_fields if f.name not in existing]
-        if not added:
-            return self.manifest()
-        new_schema = T.StructType(cur_schema.fields + added)
-        cur = self.manifest()
-        return self._next_commit(
-            [], cur["files"],
-            {"op": "evolve-schema", "added": [f.name for f in added], **(summary or {})},
-            schema=new_schema,
-        )
+        resolution against the authoritative manifest schema).
+
+        The retry loop recomputes the merged schema from the fresh
+        manifest so a lost race against a concurrent ``add_columns``
+        never drops the winner's columns."""
+        for attempt in range(retries):
+            cur_schema = self.schema()
+            existing = {f.name for f in cur_schema.fields}
+            added = [f for f in new_fields if f.name not in existing]
+            if not added:
+                return self.manifest()
+            new_schema = T.StructType(cur_schema.fields + added)
+            try:
+                return self._next_commit(
+                    [], lambda c: c["files"],
+                    {"op": "evolve-schema", "added": [f.name for f in added], **(summary or {})},
+                    schema=new_schema,
+                    retries=1,
+                )
+            except CommitConflict:
+                if attempt == retries - 1:
+                    raise
+                time.sleep(0.05 * (attempt + 1))
+        raise CommitConflict("unreachable")
 
     def replace_buckets(
         self,
@@ -471,40 +495,94 @@ class LakeTable:
         watermarks_update: dict | None = None,
         schema: T.StructType | None = None,
         write_salt: int = 1,
+        base_version: int | None = None,
     ) -> dict:
         """Copy-on-write commit unit: atomically swap all files of the
         given buckets for the new data (which must only contain rows of
-        those buckets). Files in other buckets are carried over."""
-        cur = self.manifest()
-        keep = [f for f in cur["files"] if f.get("bucket") not in buckets]
-        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
+        those buckets). Files in other buckets are carried over from
+        the FRESH manifest at commit time, so a lost race against a
+        writer of *other* buckets retries cleanly.
+
+        ``base_version`` is the snapshot the replacement data was
+        computed from (callers that read the table first pass the
+        version they read). If a concurrent commit changed the *target*
+        buckets since then, the replacement would silently drop that
+        writer's rows — the commit aborts with :class:`CommitConflict`
+        instead; the caller must recompute from the fresh snapshot."""
+        base = base_version if base_version is not None else self.current_version()
+        base_target = sorted(
+            f["path"] for f in self.files(base) if f.get("bucket") in buckets
+        )
+        new = self._write_data_files(df, base + 1, self.bucket_spec(), write_salt)
         stray = [f for f in new if f.get("bucket") not in buckets and f["rows"] > 0]
         if stray:
             raise ValueError(f"replacement data contains rows outside target buckets: {stray}")
+
+        def keep_fn(fresh: dict) -> list[dict]:
+            fresh_target = sorted(
+                f["path"] for f in fresh["files"] if f.get("bucket") in buckets
+            )
+            if fresh_target != base_target:
+                raise CommitConflict(
+                    f"target buckets {sorted(buckets)} changed concurrently "
+                    f"(computed from v{base}, now v{fresh['version']}) — recompute "
+                    "the replacement from the fresh snapshot"
+                )
+            return [f for f in fresh["files"] if f.get("bucket") not in buckets]
+
         return self._next_commit(
-            new, keep, {"op": "merge", **(summary or {})}, watermarks_update, schema=schema
+            new, keep_fn, {"op": "merge", **(summary or {})}, watermarks_update, schema=schema
         )
 
     # ------------------------------------------------------ maintenance
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, grace_seconds: float = 600.0) -> list[str]:
         """Delete data files unreferenced by the last ``keep_versions``
-        manifests (crash orphans + copy-on-write leftovers)."""
+        manifests (crash orphans + copy-on-write leftovers).
+
+        Concurrency safety: data files land BEFORE their manifest, so a
+        file can be legitimately unreferenced because its writer hasn't
+        committed yet. Two guards keep vacuum from breaking an
+        in-flight commit: (a) commit dirs whose version hint is newer
+        than the latest manifest are skipped wholesale — that version
+        hasn't committed; (b) files younger than ``grace_seconds`` are
+        skipped — covers conflict-retry windows where a writer re-lands
+        under a fresh version number."""
         cur = self.current_version() or 0
         live: set[str] = set()
         for v in range(max(1, cur - keep_versions + 1), cur + 1):
             live |= {f["path"] for f in self.manifest(v)["files"]}
         removed = []
+        now = time.time()
         data_root = os.path.join(self.root, DATA_DIR)
-        for dirpath, _dirs, names in os.walk(data_root):
-            for n in names:
-                p = os.path.join(dirpath, n)
-                rel = os.path.relpath(p, self.root)
-                if rel not in live and n.endswith(".parquet"):
+
+        def _version_hint(entry: str) -> int | None:
+            if entry.startswith("c") and "-" in entry:
+                head = entry[1:].split("-", 1)[0]
+                if head.isdigit():
+                    return int(head)
+            return None
+
+        commit_dirs = sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []
+        for entry in commit_dirs:
+            d = os.path.join(data_root, entry)
+            if not os.path.isdir(d):
+                continue
+            hint = _version_hint(entry)
+            if hint is not None and hint > cur:
+                continue  # in-flight writer: data landed, manifest pending
+            for dirpath, _dirs, names in os.walk(d):
+                for n in names:
+                    p = os.path.join(dirpath, n)
+                    rel = os.path.relpath(p, self.root)
+                    if rel in live or not n.endswith(".parquet"):
+                        continue
+                    try:
+                        if now - os.path.getmtime(p) < grace_seconds:
+                            continue
+                    except FileNotFoundError:
+                        continue
                     os.unlink(p)
                     removed.append(rel)
-        # prune empty commit dirs
-        for entry in os.listdir(data_root) if os.path.isdir(data_root) else []:
-            d = os.path.join(data_root, entry)
-            if os.path.isdir(d) and not any(files for _, _, files in os.walk(d)):
+            if not any(files for _, _, files in os.walk(d)):
                 shutil.rmtree(d, ignore_errors=True)
         return removed

@@ -6,17 +6,22 @@ on the driver (reference src/pyodibel/operations/gradoop/reader.py:
 21-137 — `nx.connected_components`), with `EntityCluster(cluster_id,
 entities, representative)` as the output model (reference
 src/pyodibel/management/clusters.py:16-33). A driver-side NetworkX
-graph caps out at millions of edges; this is the Spark-native
-replacement: alternating label propagation by iterative joins — each
-vertex repeatedly adopts the minimum label in its closed neighborhood
-until a fixed point. Converges in O(diameter) rounds; every round is
-two shuffles (join + min-agg).
+graph caps out at millions of edges; two Spark-native replacements:
 
-Scale notes: labels/lineage are truncated per round with
-``localCheckpoint`` (iterative plans otherwise grow unboundedly and
-re-execute from the source each round); convergence is detected with a
-single count of changed labels; the edge list is symmetrized once and
-cached.
+- ``connected_components`` — label propagation by iterative joins
+  (each vertex adopts the min label in its closed neighborhood).
+  O(diameter) rounds, 2 shuffles per round. Simple, predictable
+  partition shape — right for the near-duplicate cluster graphs this
+  engine feeds it (LSH candidate graphs have tiny diameter).
+- ``connected_components_star`` — alternating large-star/small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+  contracts the graph toward depth-1 stars in O(log n) rounds
+  regardless of diameter — the billion-edge / long-chain path.
+
+Scale notes: per-round state is truncated with ``localCheckpoint``
+(iterative plans otherwise grow unboundedly and re-execute from the
+source every round) and the convergence probe runs on the checkpointed
+data — never re-executing the round's shuffles a second time.
 """
 
 from __future__ import annotations
@@ -25,11 +30,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class NotConverged(RuntimeError):
+    """The iteration budget ran out before the fixed point — the labels
+    would be silently wrong for any component wider than the budget."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iterations: int = 20,
+    max_iterations: int = 30,
 ) -> DataFrame:
     """Cluster vertices of an undirected graph: returns
     ``(vertex, component)`` where ``component`` is the minimum vertex
@@ -38,6 +48,10 @@ def connected_components(
 
     Vertices are whatever type ``src``/``dst`` share; isolated
     vertices only appear if present as a self-edge or on either side.
+
+    Raises :class:`NotConverged` if ``max_iterations`` rounds don't
+    reach the fixed point (graph diameter exceeds the budget) — use
+    ``connected_components_star`` for long-chain graphs.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -59,6 +73,9 @@ def connected_components(
             .groupBy(sym["a"].alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # checkpoint BEFORE the convergence probe: the probe then scans
+        # materialized partitions instead of re-running the round's two
+        # shuffles (which the old spelling paid twice per round)
         updated = (
             labels.join(neighbor_min, "vertex", "left")
             .select(
@@ -68,14 +85,107 @@ def connected_components(
                 ),
                 "component",
             )
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("new_component") != F.col("component")).limit(1).count()
-        labels = updated.select(
-            "vertex", F.col("new_component").alias("component")
-        ).localCheckpoint()
+        labels = updated.select("vertex", F.col("new_component").alias("component"))
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise NotConverged(
+        f"connected_components did not converge in {max_iterations} rounds; "
+        "the graph diameter exceeds the budget — raise max_iterations or "
+        "use connected_components_star"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (public algorithm: Kiveris et al., MapReduce & Beyond 2014).
+
+    Each round rewires edges toward component minima:
+
+    - large-star: every node's *larger* neighbors attach to the min of
+      its closed neighborhood;
+    - small-star: every node and its *smaller* neighbors attach to the
+      min of the smaller neighborhood.
+
+    Both preserve connectivity; the composition halves component
+    "height" per round, converging to depth-1 stars rooted at the
+    component minimum in O(log n) rounds regardless of diameter — the
+    variant to use for long-chain graphs where label propagation's
+    O(diameter) rounds dominate. Convergence is detected by an edge-set
+    signature (count + bounded hash-sum) on the checkpointed result —
+    one cheap scan per round, no extra shuffle.
+    """
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .unionByName(edges.select(F.col(dst).alias("vertex")))
+        .filter(F.col("vertex").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        # pmod bounds the per-row term so the sum can't overflow ANSI
+        # LongType even at 10^10 edges
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 40))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iterations):
+        # large-star: neighbors v > u attach to m(u) = min(Γ(u) ∪ {u})
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least(F.col("u"), F.col("mn")).alias("m")
+        )
+        large = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over high→low oriented edges: m = min neighbor;
+        # every smaller neighbor and u itself attach to m
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        via_nbr = (
+            oriented.join(mins2, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        own = mins2.select("u", F.col("mn").alias("v"))
+        e = (
+            via_nbr.unionByName(own)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _sig(e)
+        if cur == prev:
+            star = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+            return verts.join(star, "vertex", "left").select(
+                "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+            )
+        prev = cur
+    raise NotConverged(
+        f"connected_components_star did not converge in {max_iterations} rounds"
+    )
 
 
 def cluster_summary(components: DataFrame) -> DataFrame:

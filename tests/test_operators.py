@@ -130,6 +130,35 @@ def test_connected_components_kernel(spark):
     assert sizes == {1: 4, 10: 3, 20: 1}
 
 
+def test_connected_components_star_matches_label_prop(spark):
+    """The O(log n) large-star/small-star variant must produce the same
+    components as label propagation — including on a long path graph
+    whose diameter exceeds label propagation's round budget."""
+    from odibel_spark.operators.graph import (
+        NotConverged,
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 20)],
+        "src int, dst int",
+    )
+    comp = {r.vertex: r.component for r in connected_components_star(edges, "src", "dst").collect()}
+    assert {v: comp[v] for v in (1, 2, 3, 4)} == {1: 1, 2: 1, 3: 1, 4: 1}
+    assert {v: comp[v] for v in (10, 11, 12)} == {10: 10, 11: 10, 12: 10}
+    assert comp[20] == 20
+
+    # path graph of 70 nodes (diameter 69): star converges in O(log n);
+    # label prop with a small budget must REFUSE rather than return
+    # silently-wrong labels
+    path = spark.createDataFrame([(i, i + 1) for i in range(70)], "src int, dst int")
+    star = {r.vertex: r.component for r in connected_components_star(path, "src", "dst").collect()}
+    assert set(star.values()) == {0} and len(star) == 71
+    with pytest.raises(NotConverged):
+        connected_components(path, "src", "dst", max_iterations=5)
+
+
 def test_temporal_windows_kernel(spark):
     """Two-version diff micro-fixture (port of reference TGraphTest,
     src/test/scala/ai/scads/odibel/sample/TGraphTest.scala:23-45):

@@ -196,12 +196,17 @@ def test_normalizer_promotes_legacy_variants(spark):
     from odibel_spark.cdc import normalize_batch
 
     df = spark.createDataFrame(
-        [("Human", " CALC "), ("ai", "web_search"), ("tool", None), (None, "python")],
+        # tab/newline padding: the codegen path must strip ALL
+        # whitespace exactly like the pandas path's str.strip()
+        [("Human", " CALC "), ("ai", "web_search"), ("tool", None), (None, "python"),
+         ("Bot\t", "calc\t"), ("\nfunction ", " browse\n")],
         "role string, tool string",
     )
     out = normalize_batch(df).collect()
-    assert [r.role for r in out] == ["user", "assistant", "tool", None]
-    assert [r.tool for r in out] == ["calculator", "search", None, "code_interpreter"]
+    assert [r.role for r in out] == ["user", "assistant", "tool", None, "assistant", "tool"]
+    assert [r.tool for r in out] == [
+        "calculator", "search", None, "code_interpreter", "calculator", "browser",
+    ]
 
     # the Arrow pandas-UDF path (schema-evolution escape hatch) must
     # agree exactly with the codegen expression path
@@ -218,7 +223,7 @@ def test_maintenance_compacts_and_vacuums(spark, wal_dir, tmpdir_path):
     )
     exp = oracle_state(spark, CFG)
     n_files_before = len(p.table().files())
-    out = p.maintenance(keep_versions=1)
+    out = p.maintenance(keep_versions=1, vacuum_grace_seconds=0)
     assert out["compacted"] and out["vacuumed_files"] > 0
     # compaction bounds files to one set per bucket; data unchanged
     assert len(p.table().files()) <= n_files_before
