@@ -348,6 +348,105 @@ def q_as_of_lookup(spark, sf_dir):
     ).select("user_id", "event_id", "t_sec", "login_value")
 
 
+# ----- RDF triple-table operators (reference rdf2 family) -------------
+RDF_TYPE_URI = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+
+def _events_triples(ev: DataFrame) -> DataFrame:
+    """Deterministic (s, p, o, isLiteral) triple table derived from the
+    shared events table — the fixture for the reference's rdf2 operator
+    family (class subgraph, schema graph, entity samplers). Every value
+    is a pure function of (user_id, event_id, event_type), so the
+    DuckDB oracle rebuilds the identical multiset. Entities: 'n<uid>'
+    typed '<T{uid%5}>' (plus a second type '<T9>' for uid%3==0 —
+    exercises multi-type entities); links to 'n{eid%211}' targets (some
+    untyped: not every residue is a user id); literals for eid%4==0."""
+    eid = F.col("event_id").cast("long")
+    uid = F.col("user_id").cast("long")
+    n = F.concat(F.lit("n"), uid.cast("string"))
+    tgt = F.concat(F.lit("n"), F.pmod(eid, F.lit(211)).cast("string"))
+    t_type = ev.select(
+        n.alias("s"), F.lit(RDF_TYPE_URI).alias("p"),
+        F.concat(F.lit("<T"), F.pmod(uid, F.lit(5)).cast("string"), F.lit(">")).alias("o"),
+        F.lit(False).alias("isLiteral"),
+    ).distinct()
+    t_type2 = (
+        ev.filter(uid % 3 == 0)
+        .select(
+            n.alias("s"), F.lit(RDF_TYPE_URI).alias("p"), F.lit("<T9>").alias("o"),
+            F.lit(False).alias("isLiteral"),
+        )
+        .distinct()
+    )
+    t_link = ev.select(
+        n.alias("s"),
+        F.concat(F.lit("<p:"), F.col("event_type"), F.lit(">")).alias("p"),
+        tgt.alias("o"),
+        F.lit(False).alias("isLiteral"),
+    )
+    t_back = ev.filter(eid % 3 == 0).select(
+        tgt.alias("s"), F.lit("<p:link>").alias("p"), n.alias("o"), F.lit(False).alias("isLiteral")
+    )
+    t_lit = ev.filter(eid % 4 == 0).select(
+        n.alias("s"), F.lit("<lit:v>").alias("p"),
+        F.concat(F.lit('"v'), F.pmod(eid, F.lit(50)).cast("string"), F.lit('"')).alias("o"),
+        F.lit(True).alias("isLiteral"),
+    )
+    return t_type.unionByName(t_type2).unionByName(t_link).unionByName(t_back).unionByName(t_lit)
+
+
+_SUBGRAPH_CLASSES = ["<T1>", "<T3>"]
+
+
+def q_rdf_class_subgraph(spark, sf_dir):
+    """F8: class-scoped entity subgraph (reference
+    filter_subgraph_by_entity_classes, rdf2.py:175-257)."""
+    from odibel_spark.sources.rdf import filter_subgraph_by_entity_classes
+
+    t = _events_triples(_t(spark, sf_dir, "events"))
+    return filter_subgraph_by_entity_classes(t, _SUBGRAPH_CLASSES)
+
+
+def q_schema_graph_rollup(spark, sf_dir):
+    """A8/J3: typing left-joins with Untyped/Literal coalesce + 3-col
+    rollup (reference build_schema_graph_df, rdf2.py:548-600)."""
+    from odibel_spark.sources.rdf import build_schema_graph
+
+    t = _events_triples(_t(spark, sf_dir, "events"))
+    return build_schema_graph(t)
+
+
+def q_sample_global(spark, sf_dir):
+    """Entity sampler, global budget (reference sample_entities_global,
+    rdf2.py:394-461; md5-deterministic ordering)."""
+    from odibel_spark.operators.sampling import sample_entities_global
+
+    t = _events_triples(_t(spark, sf_dir, "events"))
+    return sample_entities_global(t, sample_size=40, related_per_seed=3, seed=13)
+
+
+_TYPE_TARGETS = {"<T0>": 5, "<T2>": 8, "<T9>": 3}
+
+
+def q_sample_by_type_targets(spark, sf_dir):
+    """Entity sampler, rarity-first per-type targets (reference
+    sample_entities_by_type_targets, rdf2.py:259-392; driver loop
+    redesigned to two shuffles — see operators/sampling.py)."""
+    from odibel_spark.operators.sampling import sample_entities_by_type_targets
+
+    t = _events_triples(_t(spark, sf_dir, "events"))
+    return sample_entities_by_type_targets(t, _TYPE_TARGETS, related_per_seed=2, seed=7)
+
+
+def q_sample_all_types(spark, sf_dir):
+    """Entity sampler, every discovered type (reference
+    sample_entities_all_types, rdf2.py:463-546)."""
+    from odibel_spark.operators.sampling import sample_entities_all_types
+
+    t = _events_triples(_t(spark, sf_dir, "events"))
+    return sample_entities_all_types(t, target_per_type=4, related_per_seed=2, seed=5)
+
+
 def q_graph_components(spark, sf_dir):
     """Near-duplicate clusters: MinHash-LSH candidate pairs as an edge
     list → distributed connected components (reference derives clusters
@@ -530,6 +629,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "cdc_interval_marks": q_cdc_interval_marks,
         "as_of_lookup": q_as_of_lookup,
+        "rdf_class_subgraph": q_rdf_class_subgraph,
+        "schema_graph_rollup": q_schema_graph_rollup,
+        "sample_global": q_sample_global,
+        "sample_by_type_targets": q_sample_by_type_targets,
+        "sample_all_types": q_sample_all_types,
         "graph_components": q_graph_components,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_running_state": q_stream_running_state,
@@ -984,6 +1088,123 @@ matched AS (
     FROM q LEFT JOIN s ON s.user_id = q.user_id AND s.t_sec <= q.t_sec
 )
 SELECT user_id, event_id, t_sec, login_value FROM matched WHERE rn = 1
+"""
+
+    # ---- rdf2 operator family over the deterministic triples fixture
+    _TRIPLES = f"""
+triples AS (
+    SELECT DISTINCT 'n' || CAST(user_id AS VARCHAR) AS s,
+           '{RDF_TYPE_URI}' AS p,
+           '<T' || CAST(user_id % 5 AS VARCHAR) || '>' AS o,
+           false AS "isLiteral"
+    FROM events
+    UNION ALL
+    SELECT DISTINCT 'n' || CAST(user_id AS VARCHAR), '{RDF_TYPE_URI}', '<T9>', false
+    FROM events WHERE user_id % 3 = 0
+    UNION ALL
+    SELECT 'n' || CAST(user_id AS VARCHAR), '<p:' || event_type || '>',
+           'n' || CAST(event_id % 211 AS VARCHAR), false
+    FROM events
+    UNION ALL
+    SELECT 'n' || CAST(event_id % 211 AS VARCHAR), '<p:link>',
+           'n' || CAST(user_id AS VARCHAR), false
+    FROM events WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT 'n' || CAST(user_id AS VARCHAR), '<lit:v>',
+           '"v' || CAST(event_id % 50 AS VARCHAR) || '"', true
+    FROM events WHERE event_id % 4 = 0
+)"""
+
+    _ADJ = """
+adj0 AS (SELECT s AS src, o AS dst FROM triples WHERE NOT "isLiteral" AND s <> o),
+adj AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM adj0 UNION ALL SELECT dst, src FROM adj0))"""
+
+    def _expand_sql(rel_seed: int, per_seed: int) -> str:
+        """seeds(entity) + adj → sel(entity): seeds ∪ md5-ranked
+        neighbors (mirror of operators/sampling.related_entities)."""
+        return f"""
+nb AS (SELECT seeds.entity AS se, adj.dst AS entity FROM seeds JOIN adj ON seeds.entity = adj.src),
+rk AS (SELECT entity, row_number() OVER (
+           PARTITION BY se ORDER BY md5('{rel_seed}' || chr(31) || se || chr(31) || entity)
+       ) AS rn FROM nb),
+sel AS (SELECT DISTINCT entity FROM
+        (SELECT entity FROM seeds UNION ALL SELECT entity FROM rk WHERE rn <= {per_seed}))"""
+
+    _classes_in = ", ".join(f"'{c}'" for c in _SUBGRAPH_CLASSES)
+    sql["rdf_class_subgraph"] = f"""
+WITH {_TRIPLES},
+cls AS (SELECT DISTINCT s AS entity FROM triples
+        WHERE p = '{RDF_TYPE_URI}' AND o IN ({_classes_in})),
+scoped AS (SELECT t.* FROM triples t WHERE t.s IN (SELECT entity FROM cls))
+SELECT DISTINCT s, p, o, "isLiteral"
+FROM scoped
+WHERE "isLiteral"
+   OR (p = '{RDF_TYPE_URI}' AND o IN ({_classes_in}))
+   OR o IN (SELECT entity FROM cls)
+"""
+
+    sql["schema_graph_rollup"] = f"""
+WITH {_TRIPLES},
+ty AS (SELECT DISTINCT s AS entity, o AS type FROM triples WHERE p = '{RDF_TYPE_URI}'),
+ws AS (
+    SELECT t.p AS rel, t.o AS o, t."isLiteral" AS lit,
+           COALESCE(ty.type, 'Untyped') AS st
+    FROM triples t LEFT JOIN ty ON t.s = ty.entity
+),
+edges AS (
+    SELECT st, rel, COALESCE(t2.type, 'Untyped') AS tt
+    FROM ws LEFT JOIN ty t2 ON ws.o = t2.entity WHERE NOT lit
+    UNION ALL
+    SELECT st, rel, 'Literal' FROM ws WHERE lit
+)
+SELECT st AS "SourceType", rel AS "Relation", tt AS "TargetType",
+       CAST(count(*) AS BIGINT) AS "Count"
+FROM edges GROUP BY 1, 2, 3
+"""
+
+    sql["sample_global"] = f"""
+WITH {_TRIPLES},
+subjects AS (SELECT DISTINCT s AS entity FROM triples),
+seeds AS (SELECT entity FROM subjects ORDER BY md5('13' || chr(31) || entity) LIMIT 40),
+{_ADJ},
+{_expand_sql(1013, 3)}
+SELECT s, p, o, "isLiteral" FROM triples WHERE s IN (SELECT entity FROM sel)
+"""
+
+    _targets_vals = ", ".join(f"('{t}', {c})" for t, c in sorted(_TYPE_TARGETS.items()))
+    sql["sample_by_type_targets"] = f"""
+WITH {_TRIPLES},
+req AS (SELECT * FROM (VALUES {_targets_vals}) AS v(type, target)),
+et AS (SELECT DISTINCT s AS entity, o AS type FROM triples WHERE p = '{RDF_TYPE_URI}'),
+etr AS (SELECT et.entity, et.type, req.target FROM et JOIN req ON et.type = req.type),
+cnt AS (SELECT type, count(*) AS tf FROM etr GROUP BY type),
+rk1 AS (SELECT etr.entity, etr.type, etr.target,
+               row_number() OVER (PARTITION BY etr.entity ORDER BY cnt.tf ASC, etr.type ASC) AS rn_t
+        FROM etr JOIN cnt ON etr.type = cnt.type),
+a1 AS (SELECT * FROM rk1 WHERE rn_t = 1),
+seeds AS (SELECT entity FROM (
+    SELECT entity, target,
+           row_number() OVER (PARTITION BY type ORDER BY md5('7' || chr(31) || entity)) AS rn
+    FROM a1
+) WHERE rn <= target),
+{_ADJ},
+{_expand_sql(1007, 2)}
+SELECT s, p, o, "isLiteral" FROM triples WHERE s IN (SELECT entity FROM sel)
+"""
+
+    sql["sample_all_types"] = f"""
+WITH {_TRIPLES},
+et AS (SELECT DISTINCT s AS entity, o AS type FROM triples WHERE p = '{RDF_TYPE_URI}'),
+seeds AS (SELECT DISTINCT entity FROM (
+    SELECT entity,
+           row_number() OVER (
+               PARTITION BY type ORDER BY md5('5' || chr(31) || type || chr(31) || entity)
+           ) AS rn
+    FROM et
+) WHERE rn <= 4),
+{_ADJ},
+{_expand_sql(1005, 2)}
+SELECT s, p, o, "isLiteral" FROM triples WHERE s IN (SELECT entity FROM sel)
 """
 
     # the pipeline's final table state = SQL LWW replay of the same

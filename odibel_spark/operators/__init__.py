@@ -11,7 +11,18 @@ from odibel_spark.operators.temporal import (  # noqa: F401
     value_distribution_stats,
 )
 from odibel_spark.operators.diff import set_diff, snapshot_diff  # noqa: F401
-from odibel_spark.operators.graph import cluster_summary, connected_components  # noqa: F401
+from odibel_spark.operators.graph import (  # noqa: F401
+    cluster_summary,
+    connected_components,
+    connected_components_star,
+)
+from odibel_spark.operators.sampling import (  # noqa: F401
+    related_entities,
+    resource_adjacency,
+    sample_entities_all_types,
+    sample_entities_by_type_targets,
+    sample_entities_global,
+)
 from odibel_spark.operators.relational import (  # noqa: F401
     degree_distribution,
     filter_by_key_type,

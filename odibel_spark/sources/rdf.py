@@ -91,3 +91,96 @@ def clean_rdf_types(df: DataFrame, allowed_types: list[str]) -> DataFrame:
     split/filter/union there; a single-pass predicate here)."""
     is_type = F.col("p") == RDF_TYPE
     return df.filter(~is_type | F.col("o").isin(*allowed_types))
+
+
+def entity_types(df: DataFrame) -> DataFrame:
+    """Distinct (entity, type) pairs from the rdf:type edges — the
+    typing dimension every class-scoped operator joins against
+    (reference df_types, rdf2.py:198-203 et al.)."""
+    return (
+        df.filter(F.col("p") == RDF_TYPE)
+        .select(F.col("s").alias("entity"), F.col("o").alias("type"))
+        .dropDuplicates(["entity", "type"])
+    )
+
+
+def filter_subgraph_by_entity_classes(df: DataFrame, classes: list[str]) -> DataFrame:
+    """Class-scoped entity subgraph (F8; reference
+    filter_subgraph_by_entity_classes, rdf2.py:175-257).
+
+    Keep triples whose subject has an rdf:type in ``classes`` AND whose
+    object is a literal, another selected entity, or an allowed class
+    (for type edges). The reference spells this as three join branches
+    unioned then deduped; here it is ONE subject semi-join + ONE object
+    left-join + a single keep-predicate — the same result with one
+    fewer pass over the scoped triples, and the class list stays a
+    plan literal (no join) since it is caller-provided and tiny."""
+    normalized = [c.strip() for c in classes if c and c.strip()]
+    if not normalized:
+        raise ValueError("classes must not be empty")
+    selected = (
+        df.filter((F.col("p") == RDF_TYPE) & F.col("o").isin(*normalized))
+        .select("s")
+        .distinct()
+    )
+    scoped = df.join(selected, "s", "left_semi")
+    obj_selected = selected.select(F.col("s").alias("o")).withColumn("_o_sel", F.lit(True))
+    keep = (
+        F.col("isLiteral")
+        | ((F.col("p") == RDF_TYPE) & F.col("o").isin(*normalized))
+        | F.coalesce(F.col("_o_sel"), F.lit(False))
+    )
+    return (
+        scoped.join(obj_selected, "o", "left")
+        .filter(keep)
+        .select(*TRIPLE_COLUMNS)
+        .dropDuplicates(TRIPLE_COLUMNS)
+    )
+
+
+def build_schema_graph(
+    df: DataFrame, property_patterns: list[str] | None = None
+) -> DataFrame:
+    """Schema-level edge frequencies from triple-level data (A8/J3;
+    reference build_schema_graph_df, rdf2.py:548-600): double left
+    typing join with ``coalesce(type, 'Untyped')``, literal objects
+    rolled up as ``'Literal'``, then a 3-column count.
+
+    Output: (SourceType, Relation, TargetType, Count) — the reference's
+    column contract. The reference tail-sorts by Count desc; that global
+    sort is left to the caller (pure presentation, and a full exchange
+    at scale). ``property_patterns`` uses the exact/``*``-prefix
+    vocabulary of predicate_filter_expr (reference
+    _schema_graph_property_filter_expr, rdf2.py:79-91)."""
+    from odibel_spark.operators.relational import predicate_filter_expr
+
+    data = df
+    if property_patterns:
+        data = data.filter(predicate_filter_expr("p", property_patterns))
+    types = entity_types(df)
+    with_source = (
+        data.join(types.withColumnRenamed("entity", "s"), "s", "left")
+        .select(
+            F.col("p").alias("Relation"),
+            "o",
+            "isLiteral",
+            F.coalesce(F.col("type"), F.lit("Untyped")).alias("SourceType"),
+        )
+    )
+    non_literal = (
+        with_source.filter(~F.col("isLiteral"))
+        .join(types.withColumnRenamed("entity", "o"), "o", "left")
+        .select(
+            "SourceType",
+            "Relation",
+            F.coalesce(F.col("type"), F.lit("Untyped")).alias("TargetType"),
+        )
+    )
+    literal = with_source.filter(F.col("isLiteral")).select(
+        "SourceType", "Relation", F.lit("Literal").alias("TargetType")
+    )
+    return (
+        non_literal.unionByName(literal)
+        .groupBy("SourceType", "Relation", "TargetType")
+        .agg(F.count("*").alias("Count"))
+    )

@@ -175,3 +175,61 @@ def test_temporal_windows_kernel(spark):
     assert (closed.t_start, closed.t_end) == (0, 1)
     assert by[("k", "p2", "o21")].t_end == OPEN_END
     assert by[("k", "p1", "o1")].t_end == OPEN_END
+
+
+def test_filter_subgraph_by_entity_classes(spark):
+    """F8 golden test (reference filter_subgraph_by_entity_classes,
+    rdf2.py:175-257): subjects typed in `classes`; objects must be a
+    literal, another selected entity, or an allowed class type-edge."""
+    from odibel_spark.sources.rdf import RDF_TYPE, filter_subgraph_by_entity_classes
+
+    rows = [
+        ("a", RDF_TYPE, "<Person>", False),
+        ("b", RDF_TYPE, "<Person>", False),
+        ("c", RDF_TYPE, "<City>", False),
+        ("a", "<knows>", "b", False),       # keep: entity→selected entity
+        ("a", "<livesIn>", "c", False),     # drop: c not selected
+        ("a", "<name>", '"Alice"', True),   # keep: literal
+        ("c", "<name>", '"Rome"', True),    # drop: subject not selected
+        ("b", RDF_TYPE, "<Employee>", False),  # drop: type edge outside classes
+        ("a", "<knows>", "b", False),       # duplicate → deduped
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, isLiteral boolean")
+    got = {tuple(r) for r in filter_subgraph_by_entity_classes(df, ["<Person>"]).collect()}
+    assert got == {
+        ("a", RDF_TYPE, "<Person>", False),
+        ("b", RDF_TYPE, "<Person>", False),
+        ("a", "<knows>", "b", False),
+        ("a", "<name>", '"Alice"', True),
+    }
+
+
+def test_sample_by_type_targets_meets_quotas(spark):
+    """Each requested type yields min(target, available) seeds from
+    entities whose rarest requested type it is (related_per_seed=0
+    isolates the quota logic)."""
+    from odibel_spark.operators.sampling import sample_entities_by_type_targets
+    from odibel_spark.sources.rdf import RDF_TYPE, entity_types
+
+    rows = []
+    for i in range(20):
+        rows.append((f"e{i:02d}", RDF_TYPE, "<Common>", False))
+        rows.append((f"e{i:02d}", "<val>", f'"{i}"', True))
+    for i in range(3):
+        rows.append((f"r{i}", RDF_TYPE, "<Rare>", False))
+        # r-entities are ALSO Common: rarity-first assigns them to Rare
+        rows.append((f"r{i}", RDF_TYPE, "<Common>", False))
+    df = spark.createDataFrame(rows, "s string, p string, o string, isLiteral boolean")
+    out = sample_entities_by_type_targets(
+        df, {"<Common>": 4, "<Rare>": 5}, related_per_seed=0, seed=1
+    )
+    picked = entity_types(out)
+    by_type = {
+        r.type: r.n
+        for r in picked.groupBy("type").agg(F.countDistinct("entity").alias("n")).collect()
+    }
+    # Rare: only 3 exist → all 3; Common: full target of 4 from
+    # non-Rare entities (r* are assigned to their rarest type)
+    assert by_type["<Rare>"] == 3
+    sampled = {r.s for r in out.select("s").distinct().collect()}
+    assert len(sampled - {"r0", "r1", "r2"}) == 4

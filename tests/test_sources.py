@@ -143,3 +143,118 @@ def test_kafka_envelope_roundtrip(spark):
     got = decode_kafka_wal(junk, ev.schema)
     assert got.count() == enveloped.count()
     assert got.filter(F.col("conv_id").isNotNull()).count() == 0
+
+
+# --------------------------------------------------------------- FAMER
+def _write(path, text):
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+
+
+@pytest.fixture()
+def famer_json_dir(tmpdir_path):
+    d = os.path.join(tmpdir_path, "famer_json")
+    os.makedirs(d)
+    _write(
+        os.path.join(d, "vertices.json"),
+        "\n".join(
+            [
+                '{"id": "v1", "data_io": {"srcId": "dbp", "name": "Alice", "gtId": "g1"}}',
+                '{"id": "v2", "data_io": {"srcId": "wd", "name": "Alyce", "gtId": "g1"}}',
+                '{"id": "v3", "data_io": {"srcId": "dbp", "name": "Bob", "gtId": "g2"}}',
+                '{"id": "v4", "data_io": {"srcId": "wd", "name": "Robert", "gtId": "g2"}}',
+                '{"id": "v5", "data_io": {"srcId": "dbp", "name": "Zed", "gtId": "g3"}}',
+            ]
+        ),
+    )
+    _write(
+        os.path.join(d, "edges.json"),
+        "\n".join(
+            [
+                '{"source": "v1", "target": "v2", "data_io": {"value": "0.93"}}',
+                '{"source": "v3", "target": "v4", "data_io": {"value": "0.81"}}',
+                '{"source": "v4", "target": "ghost", "data_io": {"value": "0.99"}}',
+            ]
+        ),
+    )
+    return d
+
+
+def test_famer_json_reader_and_clusters(spark, famer_json_dir):
+    """Reference semantics (gradoop/reader.py:38-77): entities keyed by
+    id with srcId popped into resource; dangling edges dropped; clusters
+    = connected components (representative = min id here)."""
+    from odibel_spark.sources import famer_clusters, gold_clusters, read_famer_data
+
+    v, e = read_famer_data(spark, famer_json_dir)
+    ents = {r.id: (r.resource, dict(r.props)) for r in v.collect()}
+    assert ents["v1"] == ("dbp", {"name": "Alice", "gtId": "g1"})
+    assert len(ents) == 5
+    edges = {(r.src, r.dst): r.sim for r in e.collect()}
+    # the ghost edge is dropped (reference: src in entities and target in entities)
+    assert edges == {("v1", "v2"): 0.93, ("v3", "v4"): 0.81}
+
+    clusters = {r.id: r.cluster for r in famer_clusters(v, e).collect()}
+    assert clusters == {"v1": "v1", "v2": "v1", "v3": "v3", "v4": "v3", "v5": "v5"}
+
+
+@pytest.fixture()
+def famer_csv_dir(tmpdir_path):
+    d = os.path.join(tmpdir_path, "famer_csv")
+    os.makedirs(d)
+    _write(
+        os.path.join(d, "metadata.csv"),
+        "v;dbp;name:string,age:int,gtId:string\nv;wd;name:string,score:float,gtId:string\n",
+    )
+    _write(
+        os.path.join(d, "vertices.csv"),
+        "\n".join(
+            [
+                r"v1;[];dbp;Smith\, John|41|g1",
+                r"v2;[];wd;John Smith|0.5|g1",
+                r"v3;[];dbp;ratio 2\:1|7|g2",
+            ]
+        ),
+    )
+    _write(
+        os.path.join(d, "edges.csv"),
+        "e1;[];v1;v2;sim;0.88\ne2;[];v1;ghost;sim;0.99\n",
+    )
+    return d
+
+
+def test_famer_csv_reader(spark, famer_csv_dir):
+    """Metadata-driven CSV parse (reference reader.py:264-344):
+    per-source attribute naming, unescaped \\, and \\:, gtId→recId
+    promotion, typed per-source projection, dangling edge dropped."""
+    from odibel_spark.sources import (
+        read_famer_csv_edges,
+        read_famer_csv_vertices,
+        read_famer_metadata,
+        typed_vertex_table,
+    )
+
+    meta = read_famer_metadata(famer_csv_dir)
+    assert meta["dbp"] == [("name", "string"), ("age", "int"), ("gtId", "string")]
+    v = read_famer_csv_vertices(spark, famer_csv_dir, meta)
+    rows = {r.id: r for r in v.collect()}
+    assert dict(rows["v1"].props) == {"name": "Smith, John", "age": "41", "gtId": "g1"}
+    assert dict(rows["v3"].props) == {"name": "ratio 2:1", "age": "7", "gtId": "g2"}
+    assert rows["v2"].recId == "g1"
+
+    typed = {r.id: r for r in typed_vertex_table(v, meta, "dbp").collect()}
+    assert typed["v1"].age == 41 and isinstance(typed["v1"].age, int)
+
+    e = read_famer_csv_edges(spark, famer_csv_dir, v)
+    assert [(r.src, r.dst, r.sim) for r in e.collect()] == [("v1", "v2", 0.88)]
+
+
+def test_famer_gold_clusters(spark, famer_json_dir):
+    from odibel_spark.sources import gold_clusters, read_famer_data
+
+    from pyspark.sql import functions as F
+
+    v, _e = read_famer_data(spark, famer_json_dir)
+    v = v.withColumn("recId", F.col("props")["gtId"])
+    gold = {r.recId: (r.size, list(r.members)) for r in gold_clusters(v).collect()}
+    assert gold == {"g1": (2, ["v1", "v2"]), "g2": (2, ["v3", "v4"]), "g3": (1, ["v5"])}
