@@ -95,3 +95,32 @@ def test_interval_marks_no_shuffle(spark, sf_dir):
     w = spark.createDataFrame([(0, 100)], "t_start long, t_end long")
     p = plan(interval_marks(w, step_s=10))
     assert "Exchange" not in p, "explode must stay partition-local"
+
+
+def test_lsh_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
+    """Assembling the dedup/LSH pipelines must not launch Spark jobs or
+    force RDD conversion (each would cost a driver round-trip per
+    pipeline assembly at scale): .first()/.collect()/.rdd are poisoned
+    while the plans are built."""
+    from pyspark.sql import DataFrame
+
+    from odibel_spark.functions import dedup as D
+
+    def _boom(*_a, **_kw):
+        raise AssertionError("eager driver action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "first", _boom)
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "rdd", property(_boom))
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    plans = [
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4),
+        D.minhash_near_duplicates(docs, "doc_id", "text", n=2, threshold=0.1, k=8, bands=4),
+        D.embedding_lsh_candidates(emb, "vec_id", "embedding", n_planes=16, bands=2, dim=64),
+    ]
+    for df in plans:  # plan analysis itself must also stay action-free
+        df.explain(mode="cost")
