@@ -447,6 +447,24 @@ def q_sample_all_types(spark, sf_dir):
     return sample_entities_all_types(t, target_per_type=4, related_per_seed=2, seed=5)
 
 
+def q_bench_splits(spark, sf_dir):
+    """Deterministic md5-hash train/test split (reference
+    BenchmarkBuilder.create_splits contract, api/benchmark.py:146-162)
+    — per-split sizes; membership is engine-reproducible so the oracle
+    recomputes the identical assignment."""
+    from odibel_spark.api import create_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    splits = create_splits(docs, {"train": 0.8, "test": 0.2}, ["doc_id"], seed=42)
+    parts = [
+        df.select(F.lit(name).alias("split"), "doc_id") for name, df in sorted(splits.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("split").agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
+
+
 def q_graph_components(spark, sf_dir):
     """Near-duplicate clusters: MinHash-LSH candidate pairs as an edge
     list → distributed connected components (reference derives clusters
@@ -634,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_global": q_sample_global,
         "sample_by_type_targets": q_sample_by_type_targets,
         "sample_all_types": q_sample_all_types,
+        "bench_splits": q_bench_splits,
         "graph_components": q_graph_components,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_running_state": q_stream_running_state,
@@ -1205,6 +1224,20 @@ seeds AS (SELECT DISTINCT entity FROM (
 {_ADJ},
 {_expand_sql(1005, 2)}
 SELECT s, p, o, "isLiteral" FROM triples WHERE s IN (SELECT entity FROM sel)
+"""
+
+    # md5-fraction split mirror of api/benchmark.create_splits
+    # (sorted ratio items: test gets [0, 0.2), train [0.2, 1))
+    sql["bench_splits"] = """
+WITH f AS (
+    SELECT doc_id,
+           CAST(('0x' || substring(md5('42' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS fr
+    FROM documents
+)
+SELECT CASE WHEN fr < 0.2 THEN 'test' ELSE 'train' END AS split,
+       count(*) AS n, min(doc_id) AS min_id
+FROM f GROUP BY 1
 """
 
     # the pipeline's final table state = SQL LWW replay of the same

@@ -39,10 +39,13 @@ ANALYTICS = [
     "star_join_topk",
     "text_quality",
     "dedup_minhash_lsh",
+    "dedup_minhash_verified",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "as_of_lookup",
     "cdc_interval_marks",
+    "schema_graph_rollup",
+    "sample_by_type_targets",
 ]
 
 

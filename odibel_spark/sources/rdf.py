@@ -64,6 +64,94 @@ def serialize_ntriples(df: DataFrame, path: str, overwrite: bool = False) -> Non
     out.write.mode("overwrite" if overwrite else "errorifexists").text(path)
 
 
+def parse_nquads(spark: SparkSession, path: str) -> DataFrame:
+    """Parse N-Quads text into (s, p, o, g, isLiteral) — the named-graph
+    sibling of parse_ntriples (reference emits quads via SerUtil.scala:
+    27-40; no reader existed there — round-trip closure added here).
+    The graph term is the LAST token before the terminator, so literal
+    objects containing spaces survive."""
+    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    lines = lines.filter(
+        (F.length("line") > 0) & ~F.col("line").startswith("#") & F.col("line").rlike(_TERMINATOR)
+    )
+    pat = r"^(\S+)\s+(\S+)\s+(.*?)\s+(\S+)\s+\.\s*$"
+    df = lines.select(
+        F.regexp_extract("line", pat, 1).alias("s"),
+        F.regexp_extract("line", pat, 2).alias("p"),
+        F.regexp_extract("line", pat, 3).alias("o"),
+        F.regexp_extract("line", pat, 4).alias("g"),
+    ).filter(F.length("s") > 0)
+    return df.withColumn("isLiteral", F.col("o").startswith('"'))
+
+
+def serialize_nquads(df: DataFrame, path: str, overwrite: bool = False) -> None:
+    """Write (s, p, o, g[, ...]) as N-Quads text: ``s p o g .`` —
+    same exists-guard contract as serialize_ntriples."""
+    for c in ("s", "p", "o", "g"):
+        if c not in df.columns:
+            raise ValueError(f"quad table needs column {c!r}")
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(path)
+    out = df.select(F.concat_ws(" ", "s", "p", "o", "g", F.lit(".")).alias("value"))
+    out.write.mode("overwrite" if overwrite else "errorifexists").text(path)
+
+
+#: reference SerUtil.TKG namespace (SerUtil.scala:12)
+TKG_NS = "http://dbpedia.org/temporal"
+#: reference formatDate overflow fallback (SerUtil.scala:17-25)
+_DATE_OVERFLOW = "9999-12-31T23:59:59"
+_XSD_DT = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+
+
+def temporal_windows_to_quads(
+    windows: DataFrame,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+    v_start: str = "v_start",
+    v_end: str = "v_end",
+    t_start: str = "t_start",
+    t_end: str = "t_end",
+) -> DataFrame:
+    """Serialize temporal windows as named-graph quads (reference
+    SerUtil.buildQuads, SerUtil.scala:27-40 + the
+    CSVToRDFNamedGraphs.scala:78-85 layout): each validity interval
+    becomes a graph ``<TKG/rStart-rEnd>`` holding the data quad, plus
+    ``TKG/start`` / ``TKG/end`` xsd:dateTime metadata quads about the
+    graph node. Timestamps past the open-window sentinel render as the
+    reference's 9999-12-31T23:59:59 fallback. Pure column expressions;
+    output columns (s, p, o, g) feed serialize_nquads."""
+    interval = F.concat(
+        F.col(v_start).cast("string"), F.lit("-"), F.col(v_end).cast("string")
+    )
+    graph = F.concat(F.lit(f"<{TKG_NS}/"), interval, F.lit(">"))
+    max_ok = 253402300799  # 9999-12-31T23:59:59Z epoch seconds
+
+    def fmt(col: str) -> F.Column:
+        t = F.col(col)
+        return F.when(
+            (t > max_ok) | t.isNull(), F.lit(_DATE_OVERFLOW)
+        ).otherwise(F.date_format(F.timestamp_seconds(t), "yyyy-MM-dd'T'HH:mm:ss"))
+
+    data = windows.select(
+        F.col(s).alias("s"), F.col(p).alias("p"), F.col(o).alias("o"), graph.alias("g")
+    )
+    meta_subject = graph.alias("s")
+    start_meta = windows.select(
+        meta_subject,
+        F.lit(f"<{TKG_NS}/start>").alias("p"),
+        F.concat(F.lit('"'), fmt(t_start), F.lit(f'"^^{_XSD_DT}')).alias("o"),
+        F.lit(f"<{TKG_NS}/>").alias("g"),
+    )
+    end_meta = windows.select(
+        meta_subject,
+        F.lit(f"<{TKG_NS}/end>").alias("p"),
+        F.concat(F.lit('"'), fmt(t_end), F.lit(f'"^^{_XSD_DT}')).alias("o"),
+        F.lit(f"<{TKG_NS}/>").alias("g"),
+    )
+    return data.unionByName(start_meta).unionByName(end_meta)
+
+
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 
 

@@ -258,3 +258,50 @@ def test_famer_gold_clusters(spark, famer_json_dir):
     v = v.withColumn("recId", F.col("props")["gtId"])
     gold = {r.recId: (r.size, list(r.members)) for r in gold_clusters(v).collect()}
     assert gold == {"g1": (2, ["v1", "v2"]), "g2": (2, ["v3", "v4"]), "g3": (1, ["v5"])}
+
+
+def test_nquads_roundtrip_and_temporal_graphs(spark, tmpdir_path):
+    """Named-graph serialization (reference SerUtil.buildQuads,
+    SerUtil.scala:27-40): window interval → graph term, xsd:dateTime
+    start/end metadata quads, 9999 fallback for open windows; quads
+    round-trip through the N-Quads text format."""
+    from pyspark.sql import functions as F
+
+    from odibel_spark.sources.rdf import (
+        parse_nquads,
+        serialize_nquads,
+        temporal_windows_to_quads,
+    )
+
+    windows = spark.createDataFrame(
+        [
+            ("<e/a>", "<p/pop>", '"1000"', 5, 9, 1704067200, 1704153600),
+            ("<e/a>", "<p/pop>", '"2000"', 9, 10, 1704153600, 2**63 - 1),
+        ],
+        "s string, p string, o string, v_start long, v_end long, t_start long, t_end long",
+    )
+    quads = temporal_windows_to_quads(windows)
+    rows = {(r.s, r.p, r.o, r.g) for r in quads.collect()}
+    assert ("<e/a>", "<p/pop>", '"1000"', "<http://dbpedia.org/temporal/5-9>") in rows
+    assert (
+        "<http://dbpedia.org/temporal/5-9>",
+        "<http://dbpedia.org/temporal/start>",
+        '"2024-01-01T00:00:00"^^<http://www.w3.org/2001/XMLSchema#dateTime>',
+        "<http://dbpedia.org/temporal/>",
+    ) in rows
+    # open window end → reference's overflow fallback
+    assert any(
+        r[0] == "<http://dbpedia.org/temporal/9-10>" and "9999-12-31T23:59:59" in r[2]
+        for r in rows
+        if r[1] == "<http://dbpedia.org/temporal/end>"
+    )
+
+    path = os.path.join(tmpdir_path, "quads.nq")
+    serialize_nquads(quads, path)
+    back = parse_nquads(spark, path)
+    assert {(r.s, r.p, r.o, r.g) for r in back.collect()} == rows
+    # literal objects flagged; graph term parsed off the tail correctly
+    lits = back.filter("isLiteral").count()
+    assert lits == 6  # 2 literal data quads + 4 metadata quads
+    with pytest.raises(FileExistsError):
+        serialize_nquads(quads, path)
