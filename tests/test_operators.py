@@ -159,6 +159,29 @@ def test_connected_components_star_matches_label_prop(spark):
         connected_components(path, "src", "dst", max_iterations=5)
 
 
+def test_connected_components_batched_probe(spark):
+    """check_every > 1 (fewer driver sync points at scale) must yield
+    identical labels, and its NotConverged guard must still fire from
+    the forced final-round probe even when the budget isn't a multiple
+    of check_every."""
+    from odibel_spark.operators.graph import NotConverged, connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 20)],
+        "src int, dst int",
+    )
+    base = {r.vertex: r.component for r in connected_components(edges, "src", "dst").collect()}
+    batched = {
+        r.vertex: r.component
+        for r in connected_components(edges, "src", "dst", check_every=3).collect()
+    }
+    assert batched == base
+
+    path = spark.createDataFrame([(i, i + 1) for i in range(40)], "src int, dst int")
+    with pytest.raises(NotConverged):
+        connected_components(path, "src", "dst", max_iterations=5, check_every=3)
+
+
 def test_temporal_windows_kernel(spark):
     """Two-version diff micro-fixture (port of reference TGraphTest,
     src/test/scala/ai/scads/odibel/sample/TGraphTest.scala:23-45):
