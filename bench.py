@@ -53,6 +53,21 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def cpu_reference_miters(seconds: float = 2.0) -> float:
+    """Single-core integer-loop throughput (M iterations/s) — a host
+    speed reference recorded with every bench run. The shared sandbox
+    host's per-core speed varies several-fold between sessions, so
+    absolute events/sec numbers from different rounds are only
+    comparable after normalizing by this."""
+    import time as _t
+
+    t0 = _t.time()
+    x = 0
+    while _t.time() - t0 < seconds:
+        x += 1
+    return x / 1e6 / seconds
+
+
 def main() -> None:
     import __spark_entry__ as E
     from odibel_spark import get_spark
@@ -140,6 +155,9 @@ def main() -> None:
         "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
         "cdc_pipeline_mor_events_per_sec": round(N_EVENTS / pipe_mor_s, 1),
         "cpus": CPUS,
+        # host speed reference: single-core M iters/s at bench time
+        # (shared host — normalize cross-round comparisons by this)
+        "cpu_ref_miters": round(cpu_reference_miters(), 1),
     }
     print(json.dumps(out))
     spark.stop()
