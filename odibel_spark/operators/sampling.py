@@ -38,9 +38,19 @@ from odibel_spark.operators.relational import _det_rank
 from odibel_spark.sources.rdf import entity_types
 
 
-def resource_adjacency(df: DataFrame, symmetric: bool = True) -> DataFrame:
-    """Distinct resource-to-resource edges (no literals, no self-loops),
-    symmetrized by default (reference adjacency, rdf2.py:313-323)."""
+def resource_adjacency(
+    df: DataFrame, symmetric: bool = True, deduplicate: bool = True
+) -> DataFrame:
+    """Resource-to-resource edges (no literals, no self-loops),
+    symmetrized by default (reference adjacency, rdf2.py:313-323).
+
+    ``deduplicate=False`` skips the table-wide ``dropDuplicates``
+    shuffle and returns the raw (possibly repeated) edge multiset —
+    the right input for :func:`related_entities`, which re-deduplicates
+    AFTER restricting to seed sources. At 10^10 triples, deduplicating
+    the full symmetrized edge set costs a full-table shuffle; doing it
+    on the seed-scoped slice costs one proportional to the seeds'
+    degree sum."""
     adj = (
         df.filter(~F.col("isLiteral"))
         .select(F.col("s").alias("src"), F.col("o").alias("dst"))
@@ -48,18 +58,25 @@ def resource_adjacency(df: DataFrame, symmetric: bool = True) -> DataFrame:
     )
     if symmetric:
         adj = adj.unionByName(adj.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return adj.dropDuplicates(["src", "dst"])
+    return adj.dropDuplicates(["src", "dst"]) if deduplicate else adj
 
 
 def related_entities(
     seeds: DataFrame, adjacency: DataFrame, related_per_seed: int, seed: int
 ) -> DataFrame:
-    """Up to ``related_per_seed`` neighbors per seed entity, chosen by
-    the deterministic md5 ranking (reference ranked_neighbors,
-    rdf2.py:360-380 — W1 row_number, rand → md5)."""
+    """Up to ``related_per_seed`` distinct neighbors per seed entity,
+    chosen by the deterministic md5 ranking (reference
+    ranked_neighbors, rdf2.py:360-380 — W1 row_number, rand → md5).
+
+    The seed set (a handful of sampled entities) is broadcast so the
+    scan-side join filters the adjacency at the source — no shuffle of
+    the full edge set; the neighbor dedup then runs on the seed-scoped
+    slice only, so a raw (``deduplicate=False``) adjacency costs the
+    same as a pre-deduplicated one."""
     neighbors = (
-        seeds.join(adjacency, seeds["entity"] == adjacency["src"], "inner")
+        adjacency.join(F.broadcast(seeds), seeds["entity"] == adjacency["src"], "inner")
         .select(seeds["entity"].alias("seed_entity"), F.col("dst").alias("entity"))
+        .dropDuplicates(["seed_entity", "entity"])
     )
     w = Window.partitionBy("seed_entity").orderBy(_det_rank(seed, "seed_entity", "entity"))
     return (
@@ -93,7 +110,7 @@ def sample_entities_global(
     sampled = subjects.orderBy(_det_rank(seed, "entity")).limit(sample_size)
     selected = sampled
     if related_per_seed > 0:
-        rel = related_entities(sampled, resource_adjacency(df), related_per_seed, seed + 1000)
+        rel = related_entities(sampled, resource_adjacency(df, deduplicate=False), related_per_seed, seed + 1000)
         selected = sampled.unionByName(rel).dropDuplicates(["entity"])
     return _subject_scoped(df, selected)
 
@@ -143,7 +160,7 @@ def sample_entities_by_type_targets(
     )
     selected = seeds
     if related_per_seed > 0:
-        rel = related_entities(seeds, resource_adjacency(df), related_per_seed, seed + 1000)
+        rel = related_entities(seeds, resource_adjacency(df, deduplicate=False), related_per_seed, seed + 1000)
         selected = seeds.unionByName(rel).dropDuplicates(["entity"])
     return _subject_scoped(df, selected)
 
@@ -171,6 +188,6 @@ def sample_entities_all_types(
     )
     selected = seeds
     if related_per_seed > 0:
-        rel = related_entities(seeds, resource_adjacency(df), related_per_seed, seed + 1000)
+        rel = related_entities(seeds, resource_adjacency(df, deduplicate=False), related_per_seed, seed + 1000)
         selected = seeds.unionByName(rel).dropDuplicates(["entity"])
     return _subject_scoped(df, selected)

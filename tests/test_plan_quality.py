@@ -124,3 +124,24 @@ def test_lsh_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
     ]
     for df in plans:  # plan analysis itself must also stay action-free
         df.explain(mode="cost")
+
+
+def test_sampler_related_expansion_broadcasts_seeds(spark):
+    """Entity-sampler neighbor expansion must broadcast the (tiny) seed
+    set into the adjacency scan — never shuffle-deduplicate the full
+    symmetrized edge set just to pick a few neighbors. At 10^10 triples
+    a table-wide dropDuplicates before the seed restriction is the
+    dominant cost of the whole sampler. Pinned shape: the adjacency
+    side reaches the join WITHOUT any exchange keyed on the raw edge
+    pair (src/dst); dedup runs on the seed-scoped slice (keyed
+    seed_entity/entity) above the broadcast join."""
+    from odibel_spark.operators.sampling import related_entities, resource_adjacency
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b", False), ("b", "p", "c", False), ("a", "lit", '"x"', True)],
+        "s string, p string, o string, isLiteral boolean",
+    )
+    seeds = spark.createDataFrame([("a",)], "entity string")
+    p = plan(related_entities(seeds, resource_adjacency(triples, deduplicate=False), 2, 7))
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(src" not in p, "full-edge dedup shuffle reappeared below the seed join"
