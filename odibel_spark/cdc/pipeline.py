@@ -106,8 +106,13 @@ class PipelineConfig:
     #: >1 splits each bucket's commit write across this many tasks
     #: (deterministic row-hash salt) — hot-conversation skew insurance:
     #: one dominant conv_id otherwise serializes the commit behind a
-    #: single straggler task
-    write_salt: int = 1
+    #: single straggler task. The default "auto" derives the salt per
+    #: micro-batch from the per-bucket stats the sink already collects:
+    #: 1 (no extra files) while the batch is balanced, and splits the
+    #: hot bucket to ~2x-mean task sizes (capped at 8) when one bucket
+    #: exceeds 4x the mean — so hot-key storms pay no straggler and
+    #: quiet streams pay no read amplification.
+    write_salt: int | str = "auto"
     extra: dict = field(default_factory=dict)
 
 
@@ -225,6 +230,18 @@ class TranscriptCdcPipeline:
             if self.cfg.tombstone_gc_lsn_slack is not None and lineage_rows:
                 hwm = max(r["max_lsn"] for r in lineage_rows)
                 gc_below = max(hwm - self.cfg.tombstone_gc_lsn_slack, 0)
+            write_salt = self.cfg.write_salt
+            if write_salt == "auto":
+                # skew-adaptive: the stats pass already knows per-bucket
+                # sizes — split only when one bucket dominates (>= 4x
+                # mean), to ~2x-mean task sizes, capped at 8
+                write_salt = 1
+                ok_counts = [r["n"] for r in stats if not r["_dead"]]
+                if ok_counts and n_ok:
+                    mean = n_ok / spec.buckets
+                    hot = max(ok_counts)
+                    if mean > 0 and hot >= 4 * mean:
+                        write_salt = min(8, max(2, round(hot / (2 * mean))))
             merge_upsert(
                 table,
                 flagged.filter(~F.col("_dead")).drop("_dead", "_b"),
@@ -233,7 +250,7 @@ class TranscriptCdcPipeline:
                 watermarks_update={self.cfg.stream_id: epoch_id},
                 touched_buckets=touched,
                 tombstone_gc_below_lsn=gc_below,
-                write_salt=self.cfg.write_salt,
+                write_salt=write_salt,
             )
             if (
                 self.cfg.merge_mode == "mor"

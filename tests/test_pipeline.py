@@ -270,3 +270,35 @@ def test_randomized_multi_crash_gauntlet(spark, wal_dir, tmpdir_path):
             if m["summary"].get("op") in ("merge", "merge-mor") and "epoch" in m["summary"]
         ]
         assert len(applied) == len(set(applied)), f"{mode}: an epoch was applied twice"
+
+
+def test_auto_salt_splits_hot_conversation_bucket(spark, tmpdir_path):
+    """write_salt="auto" (the default) must split a skew-dominated
+    bucket's commit across multiple files — one viral conversation
+    otherwise serializes every commit behind a single straggler task —
+    while leaving results identical and balanced batches unsalted."""
+    import pyspark.sql.types as T
+
+    from odibel_spark.lake.table import LakeTable
+
+    # 90% of events in ONE conversation → its bucket is ~9x the mean
+    rows = [
+        (i + 1, "insert", ("conv-hot" if i % 10 else f"conv-{i}"), i % 40,
+         "user", f"m{i}", None, None)
+        for i in range(4000)
+    ]
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    wal = os.path.join(tmpdir_path, "hotwal")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(wal)
+
+    p = run_pipeline(spark, wal, os.path.join(tmpdir_path, "hot"), merge_mode="mor")
+    t = p.table()
+    by_bucket: dict = {}
+    for f in t.files():
+        by_bucket.setdefault(f["bucket"], []).append(f)
+    hot_files = max(by_bucket.values(), key=lambda fs: sum(x["rows"] for x in fs))
+    assert len(hot_files) > 1, "hot bucket commit should be salted across files"
+    assert t.read().count() == spark.createDataFrame(rows, schema).dropDuplicates(
+        ["conv_id", "turn_idx"]
+    ).count()
