@@ -304,6 +304,65 @@ class LakeTable:
             fs = [f for f in fs if f.get("bucket") in buckets]
         return fs
 
+    def changes(self, since_version: int, until_version: int | None = None) -> DataFrame:
+        """Incremental changelog scan (Iceberg ``incremental read`` /
+        changelog-table semantics) for merge-on-read tables: the change
+        rows committed AFTER ``since_version`` up to ``until_version``
+        (inclusive; default current). Each row is a folded CDC winner —
+        upsert (``_deleted`` false) or delete tombstone (``_deleted``
+        true) — stamped with ``_commit_version``; downstream consumers
+        tail the table incrementally instead of re-scanning it.
+
+        Cost is metadata-pruned: only the delta files added by the
+        commits in range are read — O(changes), never O(table).
+        Compaction commits are skipped (they rewrite files without
+        changing logical state), and maintenance never perturbs a
+        consumer's changelog. Raises for copy-on-write tables, where a
+        commit's new files mix changed rows with carried-over ones —
+        diff two snapshot reads instead (``operators.diff``).
+        """
+        if self.properties().get("merge_mode") != "mor":
+            raise ValueError(
+                "changes() requires a merge-on-read table; for copy-on-write "
+                "diff snapshot reads (operators/diff.py::snapshot_diff)"
+            )
+        cur = self.current_version()
+        until = until_version if until_version is not None else cur
+        if not (0 <= since_version <= until <= cur):
+            raise ValueError(f"need 0 <= since {since_version} <= until {until} <= current {cur}")
+        schema = self.schema(until)
+        parts: list[tuple[int, list[str]]] = []
+        for v in range(since_version + 1, until + 1):
+            man = self.manifest(v)
+            op = man.get("summary", {}).get("op", "")
+            if op in ("compact", "compact-tombstones"):
+                continue  # physical rewrite, logical no-op
+            prev = (
+                {f["path"] for f in self.manifest(v - 1)["files"]} if v > 1 else set()
+            )
+            added = [
+                os.path.join(self.root, f["path"])
+                for f in man["files"]
+                if f["path"] not in prev and f["rows"] > 0
+            ]
+            if added:
+                parts.append((v, added))
+        if not parts:
+            empty = T.StructType(
+                schema.fields + [T.StructField("_commit_version", T.LongType(), False)]
+            )
+            return self.spark.createDataFrame([], empty)
+        dfs = [
+            self.spark.read.schema(schema).parquet(*paths).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+            for v, paths in parts
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def read(
         self,
         version: int | None = None,

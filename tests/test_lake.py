@@ -243,3 +243,47 @@ def test_salted_write_spreads_hot_bucket(spark, tmpdir_path):
     # bucket-restricted read still complete
     bkt = next(b for b, fs in by_bucket.items() if sum(x["rows"] for x in fs) == 2000)
     assert t.read(buckets={bkt}).count() == 2000
+
+
+def test_incremental_changes_scan(spark, tmpdir_path):
+    """changes(since, until): exact per-commit change rows for MoR
+    tables — upserts and delete tombstones stamped with the committing
+    version, compaction invisible, CoW rejected."""
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "tchg"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    b1 = spark.createDataFrame(
+        [(1, "insert", "c1", 0, "user", "hi", None, None),
+         (2, "insert", "c2", 0, "user", "yo", None, None)], schema)
+    merge_upsert(t, b1, KEYS)
+    v1 = t.current_version()
+    b2 = spark.createDataFrame(
+        [(3, "update", "c1", 0, "user", "hi2", None, None),
+         (4, "delete", "c2", 0, None, None, None, None)], schema)
+    merge_upsert(t, b2, KEYS)
+    v2 = t.current_version()
+
+    all_ch = t.changes(0).orderBy("_lsn").collect()
+    assert [(r.conv_id, r._lsn, r._deleted, r._commit_version) for r in all_ch] == [
+        ("c1", 1, False, v1), ("c2", 2, False, v1),
+        ("c1", 3, False, v2), ("c2", 4, True, v2),
+    ]
+    tail = t.changes(v1).collect()
+    assert {(r.conv_id, r._lsn) for r in tail} == {("c1", 3), ("c2", 4)}
+
+    from odibel_spark.lake.merge import compact_buckets
+
+    compact_buckets(t)
+    assert t.changes(v2).count() == 0, "compaction must be changelog-invisible"
+    assert t.changes(v1).count() == 2, "range before compaction unchanged"
+    assert t.changes(0, v1).count() == 2
+
+    cow = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "tcow"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="cow",
+    )
+    with pytest.raises(ValueError):
+        cow.changes(0)
