@@ -392,7 +392,14 @@ def _events_triples(ev: DataFrame) -> DataFrame:
         F.concat(F.lit('"v'), F.pmod(eid, F.lit(50)).cast("string"), F.lit('"')).alias("o"),
         F.lit(True).alias("isLiteral"),
     )
-    return t_type.unionByName(t_type2).unionByName(t_link).unionByName(t_back).unionByName(t_lit)
+    t = t_type.unionByName(t_type2).unionByName(t_link).unionByName(t_back).unionByName(t_lit)
+    # the rdf2 operators reference the triple table 3-4 times per plan
+    # (typing, adjacency, subject scoping); a lazy localCheckpoint
+    # computes this 5-way union + distincts ONCE per action instead of
+    # per branch. Fixture-layer concern only: a real deployment samples
+    # from a materialized triple table, where each branch is a plain
+    # pruned scan.
+    return t.localCheckpoint(eager=False)
 
 
 _SUBGRAPH_CLASSES = ["<T1>", "<T3>"]
