@@ -320,6 +320,14 @@ class LakeTable:
         consumer's changelog. Raises for copy-on-write tables, where a
         commit's new files mix changed rows with carried-over ones —
         diff two snapshot reads instead (``operators.diff``).
+
+        Retention interplay (same contract as Iceberg incremental
+        reads over expired snapshots): ``vacuum`` may delete delta
+        files that only historical manifests reference once compaction
+        has folded them. A consumer must keep its cursor within the
+        table's retention window; a range whose files were vacuumed
+        raises ``FileNotFoundError`` naming the missing files rather
+        than returning a silently incomplete changelog.
         """
         if self.properties().get("merge_mode") != "mor":
             raise ValueError(
@@ -347,6 +355,13 @@ class LakeTable:
             ]
             if added:
                 parts.append((v, added))
+        missing = [p for _v, paths in parts for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"changelog range ({since_version}, {until}] needs {len(missing)} "
+                f"vacuumed delta file(s) (cursor fell behind the retention "
+                f"window), e.g. {missing[0]}"
+            )
         if not parts:
             empty = T.StructType(
                 schema.fields + [T.StructField("_commit_version", T.LongType(), False)]

@@ -287,3 +287,63 @@ def test_incremental_changes_scan(spark, tmpdir_path):
     )
     with pytest.raises(ValueError):
         cow.changes(0)
+
+
+def test_changelog_replicates_table(spark, tmpdir_path):
+    """Lake-to-lake replication: applying a source table's changelog
+    through the ordinary MERGE reproduces its merged state exactly —
+    the downstream-consumer contract of changes()."""
+    src = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "repl_src"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    merge_upsert(src, spark.createDataFrame(
+        [(1, "insert", "c1", 0, "user", "a", None, None),
+         (2, "insert", "c2", 0, "user", "b", None, None),
+         (3, "insert", "c3", 0, "user", "c", None, None)], schema), KEYS)
+    merge_upsert(src, spark.createDataFrame(
+        [(4, "update", "c1", 0, "user", "a2", None, None),
+         (5, "delete", "c3", 0, None, None, None, None)], schema), KEYS)
+
+    dst = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "repl_dst"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    feed = (
+        src.changes(0)
+        .withColumn("op", F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("update")))
+        .withColumnRenamed("_lsn", "lsn")
+        .drop("_deleted", "_commit_version")
+    )
+    merge_upsert(dst, feed, KEYS)
+    a = src.read().select(sorted(src.read().columns))
+    b = dst.read().select(sorted(dst.read().columns))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert b.count() == 2
+
+
+def test_changes_raises_past_retention(spark, tmpdir_path):
+    """A changelog cursor that fell behind the vacuum retention window
+    must fail loudly, never return a silently incomplete change set."""
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "ret"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    merge_upsert(t, spark.createDataFrame(
+        [(1, "insert", "c1", 0, "user", "a", None, None)], schema), KEYS)
+    v1 = t.current_version()
+    merge_upsert(t, spark.createDataFrame(
+        [(2, "update", "c1", 0, "user", "a2", None, None)], schema), KEYS)
+
+    from odibel_spark.lake.merge import compact_buckets
+
+    compact_buckets(t)
+    t.vacuum(keep_versions=1, grace_seconds=0.0)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.changes(0).count()
+    # post-compaction cursors still work: no vacuumed files in range
+    assert t.changes(t.current_version()).count() == 0
