@@ -593,6 +593,48 @@ def q_transcript_cdc_replay(spark, sf_dir):
     )
 
 
+def q_lake_changelog_state(spark, sf_dir):
+    """Incremental changelog completeness: run the same CDC pipeline as
+    ``transcript_cdc_replay`` but force MULTIPLE micro-batch commits
+    (max_files_per_trigger), then reconstruct the final table purely
+    from ``LakeTable.changes(0)`` — the multi-commit changelog folded
+    by LSN. Shares the replay oracle: if the changelog dropped or
+    duplicated any commit's rows, the hash check fails."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
+
+    base = tempfile.mkdtemp(prefix="odibel-entry-")
+    wal = os.path.join(base, "wal")
+    _events_as_wal(_t(spark, sf_dir, "events")).repartition(4).write.parquet(wal)
+    p = TranscriptCdcPipeline(
+        spark,
+        PipelineConfig(
+            wal_dirs=[wal],
+            table_root=os.path.join(base, "transcripts"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            buckets=8,
+            merge_mode="mor",
+            dedup_in_stream=False,
+            max_files_per_trigger=2,
+        ),
+    )
+    p.run_available()
+    ch = p.table().changes(0)
+    keys = ["conv_id", "turn_idx"]
+    others = [c for c in ch.columns if c not in keys]
+    winner = F.max_by(F.struct(*[F.col(c) for c in others]), F.col("_lsn")).alias("_w")
+    state = (
+        ch.groupBy(*keys)
+        .agg(winner)
+        .select(*keys, *[F.col(f"_w.{c}").alias(c) for c in others])
+        .filter(~F.col("_deleted"))
+    )
+    return state.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_timestamp("ts").alias("t_sec"),
+        F.col("_lsn").alias("applied_lsn"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + Arrow mapInPandas
     feature extraction (decode stubbed — no codecs in image).
@@ -664,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_running_state": q_stream_running_state,
         "transcript_cdc_replay": q_transcript_cdc_replay,
+        "lake_changelog_state": q_lake_changelog_state,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1272,6 +1315,10 @@ ranked AS (
 SELECT conv_id, turn_idx, role, text, tool, t_sec, lsn AS applied_lsn
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 """
+
+    # the changelog-reconstructed state must equal the replayed table
+    # state — same oracle (multi-commit changelog folded by LSN)
+    sql["lake_changelog_state"] = sql["transcript_cdc_replay"]
 
     # fake media blob = unhex(md5(doc_id) * 4) — 64 deterministic bytes
     # the oracle recomputes from the hex digest (2 hex chars per byte)
