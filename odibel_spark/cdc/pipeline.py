@@ -413,7 +413,7 @@ class TranscriptCdcPipeline:
                 lin = self.lineage().agg(F.max("max_lsn")).collect()[0][0]
                 if lin is not None:
                     gc_below = max(int(lin) - self.cfg.tombstone_gc_lsn_slack, 0)
-            compact_buckets(table, tombstone_gc_below_lsn=gc_below, summary={"op": "maintenance"})
+            compact_buckets(table, tombstone_gc_below_lsn=gc_below, summary={"reason": "maintenance"})
             out["compacted"] = True
         removed = table.vacuum(keep_versions=keep_versions, grace_seconds=vacuum_grace_seconds)
         out["vacuumed_files"] = len(removed)

@@ -123,7 +123,7 @@ def merge_upsert(
 
     if touched_buckets is not None and not touched_buckets:
         return table.commit_metadata(
-            {"op": "merge", "empty_batch": True, **(summary or {})}, watermarks_update
+            {**(summary or {}), "op": "merge", "empty_batch": True}, watermarks_update
         )
 
     if table.properties().get("merge_mode") == "mor":
@@ -167,7 +167,7 @@ def merge_upsert(
         out_cols.append(is_del.alias(DELETED_FIELD))
         return table.append(
             winners.select(*out_cols),
-            summary={"op": "merge-mor", **(summary or {})},
+            summary={**(summary or {}), "op": "merge-mor"},
             watermarks_update=watermarks_update,
         )
 
@@ -185,7 +185,7 @@ def merge_upsert(
     )
     if not touched:
         return table.commit_metadata(
-            {"op": "merge", "empty_batch": True, **(summary or {})}, watermarks_update
+            {**(summary or {}), "op": "merge", "empty_batch": True}, watermarks_update
         )
 
     src_cols = [F.col(c) for c in key_cols]
@@ -280,7 +280,7 @@ def compact_buckets(
             )
         try:
             return table.replace_buckets(
-                target, folded, summary={"op": "compact", **(summary or {})},
+                target, folded, summary={**(summary or {}), "op": "compact"},
                 base_version=base_version,
             )
         except CommitConflict:

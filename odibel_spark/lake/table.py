@@ -506,7 +506,7 @@ class LakeTable:
                 "bytes": os.path.getsize(path),
             }
         ]
-        return self._next_commit(new, lambda c: c["files"], {"op": "append", **(summary or {})})
+        return self._next_commit(new, lambda c: c["files"], {**(summary or {}), "op": "append"})
 
     def append(
         self,
@@ -518,13 +518,13 @@ class LakeTable:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
         return self._next_commit(
-            new, lambda c: c["files"], {"op": "append", **(summary or {})}, watermarks_update
+            new, lambda c: c["files"], {**(summary or {}), "op": "append"}, watermarks_update
         )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
-        return self._next_commit(new, [], {"op": "overwrite", **(summary or {})})
+        return self._next_commit(new, [], {**(summary or {}), "op": "overwrite"})
 
     def commit_metadata(self, summary: dict, watermarks_update: dict | None = None) -> dict:
         """Metadata-only commit (e.g. advance an epoch watermark for an
@@ -551,7 +551,7 @@ class LakeTable:
             try:
                 return self._next_commit(
                     [], lambda c: c["files"],
-                    {"op": "evolve-schema", "added": [f.name for f in added], **(summary or {})},
+                    {**(summary or {}), "op": "evolve-schema", "added": [f.name for f in added]},
                     schema=new_schema,
                     retries=1,
                 )

@@ -223,6 +223,7 @@ def test_maintenance_compacts_and_vacuums(spark, wal_dir, tmpdir_path):
     )
     exp = oracle_state(spark, CFG)
     n_files_before = len(p.table().files())
+    v_before_maint = p.table().current_version()
     out = p.maintenance(keep_versions=1, vacuum_grace_seconds=0)
     assert out["compacted"] and out["vacuumed_files"] > 0
     # compaction bounds files to one set per bucket; data unchanged
@@ -233,6 +234,13 @@ def test_maintenance_compacts_and_vacuums(spark, wal_dir, tmpdir_path):
     import os as _os
     for f in p.table().files():
         assert _os.path.exists(_os.path.join(p.table_root, f["path"]))
+    # maintenance-triggered compaction must stay changelog-invisible:
+    # the op tag is non-overridable, so a changes() range spanning the
+    # maintenance commit emits zero spurious change rows.
+    v_after = p.table().current_version()
+    assert p.table().changes(v_before_maint, v_after).count() == 0, (
+        "maintenance compaction leaked into the changelog"
+    )
 
 
 def test_randomized_multi_crash_gauntlet(spark, wal_dir, tmpdir_path):
