@@ -22,7 +22,7 @@ production throughput).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from odibel_spark.functions.text import document_fingerprint, normalized_text
@@ -31,6 +31,40 @@ from odibel_spark.functions.text import document_fingerprint, normalized_text
 MINHASH_P = 2_147_483_647  # Mersenne prime 2^31-1
 MINHASH_K = 16
 MINHASH_BANDS = 4  # 4 rows per band
+
+#: Residual LSH bucket-size cap (applies AFTER exact-duplicate
+#: pre-collapse, so a bucket member is a distinct fingerprint). A
+#: bucket of m members expands to m(m-1)/2 pairs inside one task;
+#: 2048 bounds that at ~2.1M structs. Overflowing buckets are dropped
+#: and the drop is surfaced through the query's observed metrics
+#: (``LSH_CAP_METRIC``) — never silently.
+DEFAULT_MAX_BUCKET = 2048
+LSH_CAP_METRIC = "lsh_bucket_cap"
+
+#: Cached intermediates from the most recent dedup pipeline assembly.
+#: Long-lived sessions invoke these pipelines repeatedly; each new
+#: assembly unpersists the previous one's caches so storage memory is
+#: bounded by ONE pipeline's working set instead of growing per call.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist every cached intermediate registered by dedup
+    pipelines in this session (safe to call any time: plans built on
+    top of them recompute from lineage)."""
+    while _ACTIVE_CACHES:
+        try:
+            _ACTIVE_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass
+
+
+def _cache_scoped(df: DataFrame) -> DataFrame:
+    """cache() with session hygiene — registers the cache so the next
+    pipeline assembly (or clear_dedup_caches) releases it."""
+    df = df.cache()
+    _ACTIVE_CACHES.append(df)
+    return df
 
 
 def _str_hash(col) -> F.Column:
@@ -105,7 +139,8 @@ def ngram_jaccard_pairs(
     per pair → join per-doc sizes. Quadratic only within identical-
     shingle clusters; use minhash_lsh_candidates upstream at scale.
     """
-    sh = word_shingles(docs, id_col, text_col, n).cache()
+    clear_dedup_caches()
+    sh = _cache_scoped(word_shingles(docs, id_col, text_col, n))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -128,6 +163,15 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _minhash_aggs(k: int) -> list[F.Column]:
+    h = F.col("_h")
+    aggs = []
+    for i in range(k):
+        a_i, b_i = 2 * i + 1, 7919 * (i + 1)
+        aggs.append(F.min((h * a_i + b_i) % MINHASH_P).alias(f"mh{i}"))
+    return aggs
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
@@ -139,12 +183,84 @@ def minhash_signatures(
     sh = word_shingles(docs, id_col, text_col, n).withColumn(
         "_h", _str_hash(F.col("shingle"))
     )
-    h = F.col("_h")
-    aggs = []
-    for i in range(k):
-        a_i, b_i = 2 * i + 1, 7919 * (i + 1)
-        aggs.append(F.min((h * a_i + b_i) % MINHASH_P).alias(f"mh{i}"))
-    return sh.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*_minhash_aggs(k))
+
+
+def _fingerprint_collapse(
+    docs: DataFrame, id_col: str, text_col: str, fingerprint: F.Column
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates into representatives before any
+    pairwise stage — THE skew guard for mass-duplicate corpora
+    (boilerplate pages, license headers): m byte-identical documents
+    would otherwise share every LSH band and turn one bucket task into
+    an m²/2 pair explosion. One window shuffle on the fingerprint.
+
+    Returns ``(members, rep_docs)``: members = (id, _fp, _rep, _n)
+    with _rep the group's min id (cached — reused by both expansion
+    joins), rep_docs = the input rows restricted to representatives.
+    Output of any downstream pair stage over rep_docs, re-expanded
+    with ``_expand_cross`` + ``_identical_pairs``, is EXACTLY the
+    uncollapsed output: exact duplicates have identical shingle sets
+    and signatures, so they collide with precisely the same partners
+    and verify at the same similarity as their representative."""
+    w = Window.partitionBy("_fp")
+    annotated = (
+        docs.withColumn("_fp", fingerprint)
+        .withColumn("_rep", F.min(id_col).over(w))
+        .withColumn("_n", F.count("*").over(w))
+    )
+    members = _cache_scoped(annotated.select(id_col, "_fp", "_rep", "_n"))
+    rep_docs = annotated.filter(F.col(id_col) == F.col("_rep")).drop("_fp", "_rep", "_n")
+    return members, rep_docs
+
+
+def _identical_pairs(members: DataFrame, id_col: str) -> DataFrame:
+    """All pairs within each exact-duplicate group (id_a < id_b),
+    generated by a fingerprint self-join — a streaming sort-merge
+    join that parallelizes across groups and never materializes a
+    group's member array in one task's memory (the pair COUNT is
+    irreducible output; the working set is one group's member list)."""
+    m = members.filter(F.col("_n") > 1)
+    a = m.select("_fp", F.col(id_col).alias("id_a"))
+    b = m.select("_fp", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _expand_cross(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Re-expand representative-level pairs to member-level pairs:
+    two equi-joins on the (uniformly distributed) rep ids, then
+    re-canonicalize ordering. Carried columns (e.g. jaccard) hold for
+    every member pair because members are byte-identical to reps."""
+    ma = members.select(F.col("_rep").alias("id_a"), F.col(id_col).alias("_xa"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col(id_col).alias("_xb"))
+    return (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            *[F.col(c) for c in carry],
+        )
+    )
+
+
+def _minhash_band_buckets(sig: DataFrame, id_col: str, k: int, bands: int) -> DataFrame:
+    rows_per_band = k // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
 
 
 def minhash_lsh_candidates(
@@ -154,39 +270,78 @@ def minhash_lsh_candidates(
     n: int = 3,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """LSH banding: split the K-signature into ``bands`` bands of
     k/bands rows; documents sharing any full band become candidate
     pairs (id_a < id_b, distinct). The band join is the only shuffle
-    that touches pairs, and it only materializes colliding ones."""
-    sig = minhash_signatures(docs, id_col, text_col, n, k)
-    rows_per_band = k // bands
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"))
-        )
-    buckets = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    return _bucket_pairs(buckets, id_col)
+    that touches pairs, and it only materializes colliding ones.
+
+    Skew guard: exact duplicates are collapsed to one representative
+    per content fingerprint BEFORE shingling (``_fingerprint_collapse``
+    — output-equivalent, see its docstring), so mass-duplicate
+    clusters cost one member each in every bucket; residual buckets
+    larger than ``max_bucket_size`` DISTINCT fingerprints are dropped
+    with the drop count surfaced via observed metrics
+    (``LSH_CAP_METRIC`` in the Spark UI / QueryExecution metrics)."""
+    clear_dedup_caches()
+    members, rep_docs = _fingerprint_collapse(
+        docs, id_col, text_col, document_fingerprint(F.col(text_col))
+    )
+    sig = minhash_signatures(rep_docs, id_col, text_col, n, k)
+    buckets = _minhash_band_buckets(sig, id_col, k, bands)
+    rep_pairs = _bucket_pairs(buckets, id_col, max_bucket_size, observation)
+    # docs whose normalized text produced zero shingles have no
+    # signature row and never pair — their exact-dup groups must not
+    # re-expand either (matches the uncollapsed semantics)
+    with_sig = members.join(
+        sig.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
+    )
+    return _expand_cross(rep_pairs, members, id_col).unionByName(
+        _identical_pairs(with_sig, id_col)
+    )
 
 
-def _bucket_pairs(buckets: DataFrame, id_col: str) -> DataFrame:
+def _bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
     """(band, bkey, id) → distinct candidate pairs (id_a < id_b).
 
     One groupBy + in-bucket pair explosion, NOT a bucket self-join: a
     self-join re-executes the whole upstream lineage (shingles,
     signatures) once per side, and its pair materialization shuffles
-    every collision twice. Bucket member lists are small by
-    construction (a bucket is a near-duplicate cluster), so the
-    quadratic expansion stays inside one task per bucket."""
+    every collision twice. Callers collapse exact duplicates first, so
+    a bucket member is a distinct fingerprint and member lists stay
+    small (a bucket is a genuine near-duplicate cluster); the
+    ``max_bucket_size`` cap bounds the residual worst case — an
+    overflowing bucket is dropped, and the number of dropped buckets /
+    ids and the largest bucket seen are recorded as observed metrics
+    named ``LSH_CAP_METRIC`` (visible to listeners and the UI), never
+    silently discarded.
+
+    AQE caveat: if EVERY bucket overflows the cap, adaptive execution
+    may propagate the resulting empty relation over the CollectMetrics
+    node and the observation never reports — use
+    ``Observation.getOrEmpty`` (non-blocking) rather than ``get`` when
+    that edge is reachable, or re-run the grouped aggregation
+    standalone for forensic stats."""
     grouped = (
         buckets.groupBy("band", "bkey")
         .agg(F.array_sort(F.collect_set(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        over = F.size("ids") > max_bucket_size
+        grouped = grouped.observe(
+            observation if observation is not None else LSH_CAP_METRIC,
+            F.sum(over.cast("long")).alias("dropped_buckets"),
+            F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("dropped_ids"),
+            F.max(F.size("ids")).alias("max_bucket"),
+        ).filter(~over)
     ids = F.col("ids")
     pair_lists = F.transform(
         ids,
@@ -210,22 +365,39 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact Jaccard verification
     restricted to candidates (semi-join pushes the filter into the
-    shingle join)."""
-    cand = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands)
-    sh = word_shingles(docs, id_col, text_col, n).cache()
+    shingle join).
+
+    Shares ONE cached shingle table between the signature and
+    verification stages, and runs both on exact-duplicate
+    representatives only (``_fingerprint_collapse``): mass-duplicate
+    groups re-expand at the end with jaccard exactly 1.0 — identical
+    normalized text means identical shingle sets — instead of flooding
+    the LSH buckets. See ``minhash_lsh_candidates`` for the
+    ``max_bucket_size`` residual-skew cap."""
+    clear_dedup_caches()
+    members, rep_docs = _fingerprint_collapse(
+        docs, id_col, text_col, document_fingerprint(F.col(text_col))
+    )
+    sh = _cache_scoped(
+        word_shingles(rep_docs, id_col, text_col, n).withColumn("_h", _str_hash(F.col("shingle")))
+    )
+    sig = sh.groupBy(id_col).agg(*_minhash_aggs(k))
+    rep_cand = _bucket_pairs(_minhash_band_buckets(sig, id_col, k, bands), id_col, max_bucket_size, observation)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        cand.join(a, "id_a")
+        rep_cand.join(a, "id_a")
         .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    rep_verified = (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
         .withColumn(
@@ -235,6 +407,15 @@ def minhash_near_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    with_shingles = members.join(
+        sizes.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
+    )
+    within = (
+        _identical_pairs(with_shingles, id_col)
+        .withColumn("jaccard", F.lit(1.0))
+        .filter(F.lit(1.0) >= F.lit(float(threshold)))
+    )
+    return _expand_cross(rep_verified, members, id_col, carry=("jaccard",)).unionByName(within)
 
 
 def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
@@ -320,6 +501,8 @@ def embedding_lsh_candidates(
     bands: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    observation=None,
 ) -> DataFrame:
     """Banded LSH over hyperplane signatures: two vectors are candidate
     near-duplicates if any band of sign-bits matches exactly. Replaces
@@ -329,11 +512,20 @@ def embedding_lsh_candidates(
 
     Pass ``dim`` (the embedding width — the caller's schema knows it)
     to keep plan construction fully lazy; the ``.first()`` probe
-    fallback launches a Spark job per pipeline assembly."""
+    fallback launches a Spark job per pipeline assembly.
+
+    Skew guard mirrors the MinHash path: byte-identical vectors are
+    collapsed to one representative per value fingerprint before
+    bucketing (identical input → identical sign bits, so expansion is
+    output-equivalent), and residual buckets beyond ``max_bucket_size``
+    are dropped with the count observed under ``LSH_CAP_METRIC``."""
     if dim is None:  # fallback probe — an eager job; prefer passing dim
         dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    clear_dedup_caches()
+    vec_fp = F.md5(F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string"))))
+    members, rep_vecs = _fingerprint_collapse(emb, id_col, vec_col, vec_fp)
     planes = random_hyperplanes(dim, n_planes, seed)
-    sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
+    sigs = embedding_lsh_signatures(rep_vecs, id_col, vec_col, planes)
     rows = n_planes // bands
     mask = (1 << rows) - 1
     band_structs = [
@@ -346,4 +538,9 @@ def embedding_lsh_candidates(
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    return _bucket_pairs(buckets, id_col)
+    rep_pairs = _bucket_pairs(buckets, id_col, max_bucket_size, observation)
+    # every vector row gets a signature (no empty-input analog), so
+    # exact-duplicate groups re-expand unconditionally
+    return _expand_cross(rep_pairs, members, id_col).unionByName(
+        _identical_pairs(members, id_col)
+    )
