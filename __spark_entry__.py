@@ -635,6 +635,32 @@ def q_lake_changelog_state(spark, sf_dir):
     )
 
 
+def q_rdf_reified_rollup(spark, sf_dir):
+    """Temporal windows serialized through the statement-reification
+    output model (reference CSVToRDFReification.scala:73-127), rolled
+    up per reification predicate: triple count, distinct statement
+    bnodes, min/max object term. The min/max pins the full term
+    formatting (dateTime rendering + overflow fallback, xsd:long
+    revision bounds, md5 bnode labels) under the hash oracle."""
+    from odibel_spark.sources.rdf import temporal_windows_to_reified
+
+    w = _event_windows(spark, sf_dir).select(
+        F.concat(F.lit("<u/"), F.col("user_id").cast("string"), F.lit(">")).alias("s"),
+        F.concat(F.lit("<p/"), F.col("event_type"), F.lit(">")).alias("p"),
+        F.concat(
+            F.lit('"'), F.round("value", 6).cast("decimal(18,6)").cast("string"), F.lit('"')
+        ).alias("o"),
+        "v_start", "v_end", "t_start", "t_end",
+    )
+    triples = temporal_windows_to_reified(w)
+    return triples.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_statements"),
+        F.min("o").alias("min_o"),
+        F.max("o").alias("max_o"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: opaque binary column + Arrow mapInPandas
     feature extraction (decode stubbed — no codecs in image).
@@ -708,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_cdc_replay": q_transcript_cdc_replay,
         "lake_changelog_state": q_lake_changelog_state,
         "multimodal_features": q_multimodal_features,
+        "rdf_reified_rollup": q_rdf_reified_rollup,
     }
 
 
@@ -1355,6 +1382,55 @@ reach(v, r) AS (
 )
 SELECT CAST(v AS BIGINT) AS vertex, CAST(min(r) AS BIGINT) AS component
 FROM reach GROUP BY v
+"""
+
+    # reification model: 8 triples per temporal window; min/max object
+    # term pins dateTime rendering, 9999 overflow fallback, xsd:long
+    # bounds, and md5 bnode labels
+    sql["rdf_reified_rollup"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+terms AS (
+    SELECT '<u/' || CAST(user_id AS VARCHAR) || '>' AS s,
+           '<p/' || event_type || '>' AS p,
+           '"' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) || '"' AS o,
+           v_start, v_end, t_start, t_end
+    FROM windows
+),
+fmt AS (
+    SELECT *,
+           '_:b' || md5(concat_ws(chr(31), s, p, o,
+                                  CAST(v_start AS VARCHAR), CAST(v_end AS VARCHAR))) AS b,
+           CASE WHEN t_start IS NULL OR t_start > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_start), '%Y-%m-%dT%H:%M:%S') END AS dt_s,
+           CASE WHEN t_end IS NULL OR t_end > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_end), '%Y-%m-%dT%H:%M:%S') END AS dt_e
+    FROM terms
+),
+triples AS (
+    SELECT b AS s, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+           '<http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement>' AS o FROM fmt
+    UNION ALL
+    SELECT b, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#subject>', s FROM fmt
+    UNION ALL
+    SELECT b, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate>', p FROM fmt
+    UNION ALL
+    SELECT b, '<http://www.w3.org/1999/02/22-rdf-syntax-ns#object>', o FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/tStart>',
+           '"' || dt_s || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/tEnd>',
+           '"' || dt_e || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/rStart>',
+           '"' || CAST(v_start AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#long>' FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/rEnd>',
+           '"' || CAST(v_end AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#long>' FROM fmt
+)
+SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_statements,
+       min(o) AS min_o, max(o) AS max_o
+FROM triples GROUP BY p
 """
 
     return sql

@@ -101,6 +101,29 @@ TKG_NS = "http://dbpedia.org/temporal"
 #: reference formatDate overflow fallback (SerUtil.scala:17-25)
 _DATE_OVERFLOW = "9999-12-31T23:59:59"
 _XSD_DT = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+_XSD_LONG = "<http://www.w3.org/2001/XMLSchema#long>"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+#: 9999-12-31T23:59:59Z in epoch seconds — anything later (or null)
+#: renders as the reference's overflow fallback
+_MAX_EPOCH_OK = 253402300799
+
+
+def _fmt_xsd_datetime(col: str) -> F.Column:
+    """Epoch-seconds column → the reference's dateTime rendering
+    (SerUtil.formatDate, SerUtil.scala:17-25): ISO second precision
+    with the 9999-12-31T23:59:59 overflow fallback for open windows."""
+    t = F.col(col)
+    return F.when(
+        (t > _MAX_EPOCH_OK) | t.isNull(), F.lit(_DATE_OVERFLOW)
+    ).otherwise(F.date_format(F.timestamp_seconds(t), "yyyy-MM-dd'T'HH:mm:ss"))
+
+
+def _dt_literal(col: str) -> F.Column:
+    return F.concat(F.lit('"'), _fmt_xsd_datetime(col), F.lit(f'"^^{_XSD_DT}'))
+
+
+def _long_literal(col: str) -> F.Column:
+    return F.concat(F.lit('"'), F.col(col).cast("string"), F.lit(f'"^^{_XSD_LONG}'))
 
 
 def temporal_windows_to_quads(
@@ -125,13 +148,7 @@ def temporal_windows_to_quads(
         F.col(v_start).cast("string"), F.lit("-"), F.col(v_end).cast("string")
     )
     graph = F.concat(F.lit(f"<{TKG_NS}/"), interval, F.lit(">"))
-    max_ok = 253402300799  # 9999-12-31T23:59:59Z epoch seconds
-
-    def fmt(col: str) -> F.Column:
-        t = F.col(col)
-        return F.when(
-            (t > max_ok) | t.isNull(), F.lit(_DATE_OVERFLOW)
-        ).otherwise(F.date_format(F.timestamp_seconds(t), "yyyy-MM-dd'T'HH:mm:ss"))
+    fmt = _fmt_xsd_datetime
 
     data = windows.select(
         F.col(s).alias("s"), F.col(p).alias("p"), F.col(o).alias("o"), graph.alias("g")
@@ -150,6 +167,192 @@ def temporal_windows_to_quads(
         F.lit(f"<{TKG_NS}/>").alias("g"),
     )
     return data.unionByName(start_meta).unionByName(end_meta)
+
+
+def _window_bnode(s: str, p: str, o: str, v_start: str, v_end: str) -> F.Column:
+    """Deterministic blank-node label for one temporal statement.
+
+    The reference labels statement bnodes with ``_:b${System.nanoTime()}``
+    (CSVToRDFReification.scala:100) — unique but irreproducible, so two
+    runs of the same input never serialize identically and no oracle can
+    check the output. Design substitution: md5 over the statement
+    identity (s, p, o, rStart, rEnd), which is unique exactly when the
+    statement is, stable across runs/engines, and a pure column
+    expression."""
+    return F.concat(
+        F.lit("_:b"),
+        F.md5(F.concat_ws("\x1f", F.col(s), F.col(p), F.col(o),
+                          F.col(v_start).cast("string"), F.col(v_end).cast("string"))),
+    )
+
+
+def _explode_po(base: DataFrame, subject: F.Column, pairs: list[tuple[F.Column, F.Column]]) -> DataFrame:
+    """One scan → k triples per row: explode an inline array of
+    (p, o) structs under a shared subject. Avoids the k-way
+    union-of-scans the reference's per-row string templates imply."""
+    po = F.explode(F.array(*[
+        F.struct(p.alias("p"), o.alias("o")) for p, o in pairs
+    ]))
+    return base.select(subject.alias("s"), po.alias("_po")).select(
+        "s", F.col("_po.p").alias("p"), F.col("_po.o").alias("o")
+    )
+
+
+def temporal_windows_to_reified(
+    windows: DataFrame,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+    v_start: str = "v_start",
+    v_end: str = "v_end",
+    t_start: str = "t_start",
+    t_end: str = "t_end",
+) -> DataFrame:
+    """RDF statement-reification output model (reference
+    CSVToRDFReification.convertRowToRDF, CSVToRDFReification.scala:73-127):
+    each temporal window becomes a blank rdf:Statement node carrying 8
+    triples — rdf:type/subject/predicate/object plus tStart/tEnd
+    (xsd:dateTime, overflow fallback) and rStart/rEnd (xsd:long revision
+    bounds). The object column is taken as an already-formatted RDF term
+    (use :func:`format_rdf_object` to build one from a raw value, the
+    reference's objectPart logic). Temporal annotations use the TKG
+    namespace (the reference splits them across example.org/relation in
+    the active file vs dbpedia.org/temporal in TKGModelMgr.scala:22 —
+    standardized on the latter to match the quads model). Output is a
+    plain (s, p, o, isLiteral) triple table; one scan, no per-row
+    Python."""
+    bnode = _window_bnode(s, p, o, v_start, v_end)
+    out = _explode_po(
+        windows,
+        bnode,
+        [
+            (F.lit(f"<{RDF_NS}type>"), F.lit(f"<{RDF_NS}Statement>")),
+            (F.lit(f"<{RDF_NS}subject>"), F.col(s)),
+            (F.lit(f"<{RDF_NS}predicate>"), F.col(p)),
+            (F.lit(f"<{RDF_NS}object>"), F.col(o)),
+            (F.lit(f"<{TKG_NS}/tStart>"), _dt_literal(t_start)),
+            (F.lit(f"<{TKG_NS}/tEnd>"), _dt_literal(t_end)),
+            (F.lit(f"<{TKG_NS}/rStart>"), _long_literal(v_start)),
+            (F.lit(f"<{TKG_NS}/rEnd>"), _long_literal(v_end)),
+        ],
+    )
+    return out.withColumn("isLiteral", F.col("o").startswith('"'))
+
+
+def temporal_windows_to_rdf_star(
+    windows: DataFrame,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+    v_start: str = "v_start",
+    v_end: str = "v_end",
+    t_start: str = "t_start",
+    t_end: str = "t_end",
+) -> DataFrame:
+    """RDF-star output model (reference CSVToRDFStar,
+    TKGModelMgr.scala:130-145): the quoted triple ``<< s p o >>`` is the
+    subject of 4 annotation triples (tStart/tEnd dateTime, rStart/rEnd
+    long). Emitted as (s, p, o, isLiteral) where ``s`` holds the quoted
+    triple term — serialize with :func:`serialize_ntriples` for RDF-star
+    text."""
+    quoted = F.concat_ws(" ", F.lit("<<"), F.col(s), F.col(p), F.col(o), F.lit(">>"))
+    out = _explode_po(
+        windows,
+        quoted,
+        [
+            (F.lit(f"<{TKG_NS}/tStart>"), _dt_literal(t_start)),
+            (F.lit(f"<{TKG_NS}/tEnd>"), _dt_literal(t_end)),
+            (F.lit(f"<{TKG_NS}/rStart>"), _long_literal(v_start)),
+            (F.lit(f"<{TKG_NS}/rEnd>"), _long_literal(v_end)),
+        ],
+    )
+    return out.withColumn("isLiteral", F.col("o").startswith('"'))
+
+
+def temporal_windows_to_property_tkg(
+    windows: DataFrame,
+    s: str = "s",
+    p: str = "p",
+    o: str = "o",
+    v_start: str = "v_start",
+    v_end: str = "v_end",
+    t_start: str = "t_start",
+    t_end: str = "t_end",
+) -> DataFrame:
+    """Property-TKG output model (reference ToRDFPropertyTKG.scala:1-27,
+    spec'd by its doc example: entity → revision bnode holding the
+    property value plus start/end): 4 triples per window —
+    ``s TKG/revision _:rev``, ``_:rev p o``, ``_:rev TKG/start dt``,
+    ``_:rev TKG/end dt``. The reference class body is an unimplemented
+    TODO; this implements the documented contract. Revision bnodes are
+    deterministic (see :func:`_window_bnode`)."""
+    bnode = _window_bnode(s, p, o, v_start, v_end)
+    base = windows.withColumn("_rev", bnode)
+    link = base.select(
+        F.col(s).alias("s"),
+        F.lit(f"<{TKG_NS}/revision>").alias("p"),
+        F.col("_rev").alias("o"),
+    )
+    rev = _explode_po(
+        base,
+        F.col("_rev"),
+        [
+            (F.col(p), F.col(o)),
+            (F.lit(f"<{TKG_NS}/start>"), _dt_literal(t_start)),
+            (F.lit(f"<{TKG_NS}/end>"), _dt_literal(t_end)),
+        ],
+    )
+    out = link.unionByName(rev)
+    return out.withColumn("isLiteral", F.col("o").startswith('"'))
+
+
+def format_rdf_object(value: F.Column, lang: F.Column | None = None) -> F.Column:
+    """Raw value → N-Triples object term — the reference's objectPart
+    branch (CSVToRDFReification.scala:81-86 + isUri:118-122): language-
+    tagged literal if a tag is present, ``<uri>`` if the value matches
+    the scheme regex, plain quoted literal otherwise."""
+    uri_like = value.rlike(r"^[a-zA-Z][a-zA-Z0-9+.\-]*:")
+    quoted = F.concat(F.lit('"'), value, F.lit('"'))
+    tagged = F.concat(quoted, lang) if lang is not None else quoted
+    base = F.when(uri_like, F.concat(F.lit("<"), value, F.lit(">"))).otherwise(quoted)
+    if lang is None:
+        return base
+    return F.when(lang.isNotNull() & (F.length(lang) > 0), tagged).otherwise(base)
+
+
+#: TKG output-model registry (reference TKGModelMgr.scala:7-12 — the
+#: sealed TKGModel trait with a format tag per model). ``nquads`` is
+#: the only quad-shaped model; the rest are plain triple tables.
+TKG_MODELS = {
+    "nquads": temporal_windows_to_quads,
+    "reification": temporal_windows_to_reified,
+    "rdfstar": temporal_windows_to_rdf_star,
+    "property": temporal_windows_to_property_tkg,
+}
+
+
+def serialize_temporal_model(windows: DataFrame, model: str, **cols) -> DataFrame:
+    """Model-selection manager (reference TKGModelMgr.serializeAs,
+    TKGModelMgr.scala:7-16): dispatch a temporal-window table to one of
+    the four output models by name. Unknown names raise with the valid
+    set, mirroring the sealed-trait exhaustiveness."""
+    try:
+        fn = TKG_MODELS[model]
+    except KeyError:
+        raise ValueError(f"unknown TKG model {model!r}; one of {sorted(TKG_MODELS)}") from None
+    return fn(windows, **cols)
+
+
+def write_temporal_model(
+    windows: DataFrame, model: str, path: str, overwrite: bool = False, **cols
+) -> None:
+    """serialize_temporal_model + the matching text sink: N-Quads for
+    the named-graph model, N-Triples for the triple-shaped models."""
+    out = serialize_temporal_model(windows, model, **cols)
+    if model == "nquads":
+        serialize_nquads(out, path, overwrite=overwrite)
+    else:
+        serialize_ntriples(out, path, overwrite=overwrite)
 
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"

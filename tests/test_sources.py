@@ -305,3 +305,87 @@ def test_nquads_roundtrip_and_temporal_graphs(spark, tmpdir_path):
     assert lits == 6  # 2 literal data quads + 4 metadata quads
     with pytest.raises(FileExistsError):
         serialize_nquads(quads, path)
+
+
+def test_temporal_output_models(spark, tmpdir_path):
+    """Reification / RDF-star / property-TKG output models (reference
+    CSVToRDFReification.scala:73-127, TKGModelMgr.scala:7-16,130-145,
+    ToRDFPropertyTKG.scala doc contract) + the model-manager dispatch.
+    Bnode labels are deterministic md5 (design substitution for the
+    reference's System.nanoTime) so exact output sets are assertable."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from odibel_spark.sources.rdf import (
+        TKG_MODELS,
+        format_rdf_object,
+        parse_ntriples,
+        serialize_temporal_model,
+        temporal_windows_to_property_tkg,
+        temporal_windows_to_rdf_star,
+        temporal_windows_to_reified,
+        write_temporal_model,
+    )
+
+    windows = spark.createDataFrame(
+        [
+            ("<e/a>", "<p/pop>", '"1000"', 5, 9, 1704067200, 1704153600),
+            ("<e/a>", "<p/pop>", '"2000"', 9, 10, 1704153600, 2**63 - 1),
+        ],
+        "s string, p string, o string, v_start long, v_end long, t_start long, t_end long",
+    )
+
+    b1 = "_:b" + hashlib.md5("\x1f".join(["<e/a>", "<p/pop>", '"1000"', "5", "9"]).encode()).hexdigest()
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    TKG = "http://dbpedia.org/temporal"
+    DT = "<http://www.w3.org/2001/XMLSchema#dateTime>"
+    LNG = "<http://www.w3.org/2001/XMLSchema#long>"
+
+    reified = temporal_windows_to_reified(windows)
+    rows = {(r.s, r.p, r.o) for r in reified.collect()}
+    assert len(rows) == 16  # 8 per window
+    expected_b1 = {
+        (b1, f"<{RDF}type>", f"<{RDF}Statement>"),
+        (b1, f"<{RDF}subject>", "<e/a>"),
+        (b1, f"<{RDF}predicate>", "<p/pop>"),
+        (b1, f"<{RDF}object>", '"1000"'),
+        (b1, f"<{TKG}/tStart>", f'"2024-01-01T00:00:00"^^{DT}'),
+        (b1, f"<{TKG}/tEnd>", f'"2024-01-02T00:00:00"^^{DT}'),
+        (b1, f"<{TKG}/rStart>", f'"5"^^{LNG}'),
+        (b1, f"<{TKG}/rEnd>", f'"9"^^{LNG}'),
+    }
+    assert expected_b1 <= rows
+    # open window renders the reference's overflow fallback
+    assert any("9999-12-31T23:59:59" in o for _, p, o in rows if p == f"<{TKG}/tEnd>")
+
+    star = temporal_windows_to_rdf_star(windows)
+    srows = {(r.s, r.p, r.o) for r in star.collect()}
+    assert len(srows) == 8  # 4 per window
+    assert ('<< <e/a> <p/pop> "1000" >>', f"<{TKG}/rStart>", f'"5"^^{LNG}') in srows
+
+    prop = temporal_windows_to_property_tkg(windows)
+    prows = {(r.s, r.p, r.o) for r in prop.collect()}
+    assert len(prows) == 8  # 4 per window
+    assert ("<e/a>", f"<{TKG}/revision>", b1) in prows
+    assert (b1, "<p/pop>", '"1000"') in prows
+    assert (b1, f"<{TKG}/start>", f'"2024-01-01T00:00:00"^^{DT}') in prows
+
+    # manager dispatch: every model name resolves; unknown raises
+    assert set(TKG_MODELS) == {"nquads", "reification", "rdfstar", "property"}
+    assert {(r.s, r.p, r.o) for r in serialize_temporal_model(windows, "reification").collect()} == rows
+    with pytest.raises(ValueError, match="unknown TKG model"):
+        serialize_temporal_model(windows, "turtle")
+
+    # triple-shaped models round-trip through the N-Triples sink
+    path = os.path.join(tmpdir_path, "reified.nt")
+    write_temporal_model(windows, "reification", path)
+    back = parse_ntriples(spark, path)
+    assert {(r.s, r.p, r.o) for r in back.collect()} == rows
+
+    # objectPart formatting (reference isUri branch)
+    terms = spark.createDataFrame(
+        [("http://ex/x", None), ("plain text", None), ("bonjour", "@fr")],
+        "v string, lang string",
+    ).select(format_rdf_object(F.col("v"), F.col("lang")).alias("o"))
+    assert [r.o for r in terms.collect()] == ["<http://ex/x>", '"plain text"', '"bonjour"@fr']
