@@ -168,9 +168,17 @@ def cluster_pair_metrics(
         ).collect()[0]
         return int(row["p"] or 0)
 
-    tp = _pairs(joined.groupBy("_p", "_g").agg(F.count("*").alias("n")))
-    pred_pairs = _pairs(joined.groupBy("_p").agg(F.count("*").alias("n")))
-    gold_pairs = _pairs(joined.groupBy("_g").agg(F.count("*").alias("n")))
+    # One shuffle over the entity-level join builds the (pred, gold)
+    # contingency cells; all three pair counts derive from those cells
+    # (per-pred and per-gold totals are cell-count sums), so the join
+    # executes once instead of three times.
+    cells = joined.groupBy("_p", "_g").agg(F.count("*").alias("n")).persist()
+    try:
+        tp = _pairs(cells)
+        pred_pairs = _pairs(cells.groupBy("_p").agg(F.sum("n").alias("n")))
+        gold_pairs = _pairs(cells.groupBy("_g").agg(F.sum("n").alias("n")))
+    finally:
+        cells.unpersist()
     precision = tp / pred_pairs if pred_pairs else 0.0
     recall = tp / gold_pairs if gold_pairs else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
@@ -178,6 +186,265 @@ def cluster_pair_metrics(
         "true_positive_pairs": tp,
         "predicted_pairs": pred_pairs,
         "gold_pairs": gold_pairs,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+# ------------------------- entity fusion -----------------------------
+#
+# Reference benchmark/entity_fusion/{data,eval}.py: EntityCluster /
+# EntityFusionData hold driver-side entity lists; FusionRule names an
+# attribute-level merge policy ("max", "min", "concat", "average");
+# EntityFusionEvaluator.evaluate_fusion_data (eval.py:102-142) derives
+# cluster-size statistics and the fused/unfused ratio. Spark-native
+# shape: the long entity-property table (cluster_id, entity_id,
+# attribute, value) — one row per property assertion — so clusters of
+# any size aggregate in one shuffle and nothing lives on the driver.
+
+#: reference FusionRule.rule_type vocabulary (entity_fusion/data.py:29)
+FUSION_RULE_TYPES = ("max", "min", "concat", "average", "first")
+
+
+def fuse_clusters(
+    entities: DataFrame,
+    rules: dict[str, str],
+    default_rule: str = "first",
+    cluster_col: str = "cluster_id",
+    attr_col: str = "attribute",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apply attribute-level fusion rules to entity clusters — the
+    task the reference's FusionRule vocabulary describes but never
+    executes (entity_fusion/data.py:26-32 is a dataclass only).
+
+    One groupBy (cluster, attribute) computes every rule's aggregate;
+    a per-attribute CASE picks the ruled one. ``concat`` is the sorted
+    distinct concatenation (deterministic, engine-reproducible —
+    collect_list order is not). Output: one fused value per
+    (cluster_id, attribute), value as string."""
+    for attr, rule in rules.items():
+        if rule not in FUSION_RULE_TYPES:
+            raise ValueError(f"unknown fusion rule {rule!r} for {attr!r}; one of {FUSION_RULE_TYPES}")
+    if default_rule not in FUSION_RULE_TYPES:
+        raise ValueError(f"unknown default rule {default_rule!r}")
+    v = F.col(value_col)
+    agg = entities.groupBy(cluster_col, attr_col).agg(
+        F.max(v.cast("string")).alias("_max"),
+        F.min(v.cast("string")).alias("_min"),
+        F.concat_ws(",", F.array_sort(F.collect_set(v.cast("string")))).alias("_concat"),
+        # try_cast: ANSI mode is on, and "average" may share a table
+        # with non-numeric attributes that other rules handle
+        F.avg(v.try_cast("double")).cast("string").alias("_average"),
+        F.min(v.cast("string")).alias("_first"),
+    )
+    picked = F.lit(None).cast("string")
+    chain = None
+    for attr, rule in rules.items():
+        cond = F.col(attr_col) == attr
+        expr = F.col(f"_{rule}")
+        chain = F.when(cond, expr) if chain is None else chain.when(cond, expr)
+    default_expr = F.col(f"_{default_rule}")
+    picked = chain.otherwise(default_expr) if chain is not None else default_expr
+    return agg.select(
+        cluster_col, attr_col, picked.alias("fused_value")
+    )
+
+
+def fusion_data_metrics(
+    cluster_entities: DataFrame,
+    fused: DataFrame | None = None,
+    cluster_col: str = "cluster_id",
+    entity_col: str = "entity_id",
+) -> dict:
+    """Data-characteristic metrics for an entity-fusion benchmark —
+    reference EntityFusionEvaluator.evaluate_fusion_data
+    (entity_fusion/eval.py:102-142): cluster/entity totals,
+    min/avg/max cluster size, fused vs unfused cluster counts and the
+    fusion ratio. ``cluster_entities`` is entity-level membership
+    (cluster_id, entity_id); ``fused`` optionally lists cluster_ids
+    that have a fused entity. One shuffle to per-cluster sizes, one
+    tiny re-agg, one optional semi-join count."""
+    sizes = cluster_entities.groupBy(cluster_col).agg(
+        F.countDistinct(entity_col).alias("n")
+    ).persist()
+    try:
+        row = sizes.agg(
+            F.count("*").alias("clusters"),
+            F.sum("n").alias("entities"),
+            F.avg("n").alias("avg_size"),
+            F.min("n").alias("min_size"),
+            F.max("n").alias("max_size"),
+        ).collect()[0]
+        total = int(row["clusters"] or 0)
+        out = {
+            "total_clusters": total,
+            "total_entities": int(row["entities"] or 0),
+            "avg_cluster_size": float(row["avg_size"]) if row["avg_size"] is not None else 0.0,
+            "min_cluster_size": int(row["min_size"]) if row["min_size"] is not None else 0,
+            "max_cluster_size": int(row["max_size"]) if row["max_size"] is not None else 0,
+        }
+        if fused is not None:
+            n_fused = (
+                sizes.join(fused.select(F.col(cluster_col)).distinct(), cluster_col, "left_semi")
+                .count()
+            )
+            out["fused_clusters"] = n_fused
+            out["unfused_clusters"] = total - n_fused
+            out["fusion_ratio"] = n_fused / total if total else 0.0
+        return out
+    finally:
+        sizes.unpersist()
+
+
+def fusion_quality_metrics(
+    fused_pred: DataFrame,
+    fused_gold: DataFrame,
+    cluster_col: str = "cluster_id",
+    attr_col: str = "attribute",
+    value_col: str = "fused_value",
+) -> dict:
+    """Task-result quality for entity fusion: compare predicted fused
+    entities against ground-truth fused entities (the evaluation the
+    reference's EntityFusionBenchmark.get_ground_truth exists to drive,
+    entity_fusion/data.py:107-124). Long-form (cluster, attribute,
+    value) on both sides; a full-outer join yields per-attribute
+    correct/wrong/missing/extra counts plus entity-level accuracy
+    (every attribute of the cluster correct)."""
+    p = fused_pred.select(
+        F.col(cluster_col).alias("_c"), F.col(attr_col).alias("_a"),
+        F.col(value_col).cast("string").alias("_pv"),
+    )
+    g = fused_gold.select(
+        F.col(cluster_col).alias("_c"), F.col(attr_col).alias("_a"),
+        F.col(value_col).cast("string").alias("_gv"),
+    )
+    j = p.join(g, ["_c", "_a"], "full_outer").select(
+        "_c",
+        F.when(F.col("_pv").isNull(), F.lit("missing"))
+        .when(F.col("_gv").isNull(), F.lit("extra"))
+        .when(F.col("_pv") == F.col("_gv"), F.lit("correct"))
+        .otherwise(F.lit("wrong"))
+        .alias("_k"),
+    )
+    per_cluster = j.groupBy("_c").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("_k") == "correct").cast("long")).alias("ok"),
+    )
+    row = per_cluster.agg(
+        F.sum("n").alias("attrs"),
+        F.sum("ok").alias("correct"),
+        F.count("*").alias("clusters"),
+        F.sum((F.col("ok") == F.col("n")).cast("long")).alias("exact_clusters"),
+    ).collect()[0]
+    attrs = int(row["attrs"] or 0)
+    correct = int(row["correct"] or 0)
+    clusters = int(row["clusters"] or 0)
+    exact = int(row["exact_clusters"] or 0)
+    return {
+        "total_attributes": attrs,
+        "correct_attributes": correct,
+        "attribute_accuracy": correct / attrs if attrs else 0.0,
+        "total_clusters": clusters,
+        "exact_clusters": exact,
+        "entity_accuracy": exact / clusters if clusters else 0.0,
+    }
+
+
+# ------------------------- schema matching ---------------------------
+#
+# Reference benchmark/schema_matching/{data,eval}.py: AttributeMapping
+# rows carry (source_attribute, target_attribute, is_match?) where
+# is_match is a NULLABLE boolean — None means unlabeled;
+# SchemaMatchingEvaluator.evaluate_matching_data (eval.py:105-145)
+# splits mappings into matches/non-matches/unlabeled and averages
+# schema attribute counts. Spark shape: a mappings DataFrame with a
+# nullable boolean column — the three-way split is one aggregation.
+
+
+def matching_data_metrics(
+    mappings: DataFrame,
+    schemas: DataFrame | None = None,
+    match_col: str = "is_match",
+    schema_col: str = "schema",
+    attr_col: str = "attribute",
+) -> dict:
+    """Data-characteristic metrics for a schema-matching benchmark —
+    reference SchemaMatchingEvaluator.evaluate_matching_data
+    (schema_matching/eval.py:105-145): match / non-match / unlabeled
+    counts and ratios in ONE pass over the mappings (the nullable
+    boolean IS the three-way partition), plus avg attributes per
+    schema from the optional schema table (one tiny two-level agg)."""
+    m = F.col(match_col)
+    row = mappings.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((m == True).cast("long")).alias("matches"),  # noqa: E712
+        F.sum((m == False).cast("long")).alias("non_matches"),  # noqa: E712
+        F.sum(m.isNull().cast("long")).alias("unlabeled"),
+    ).collect()[0]
+    total = int(row["total"] or 0)
+    out = {
+        "total_mappings": total,
+        "matches": int(row["matches"] or 0),
+        "non_matches": int(row["non_matches"] or 0),
+        "unlabeled": int(row["unlabeled"] or 0),
+    }
+    if total:
+        out["match_ratio"] = out["matches"] / total
+        out["non_match_ratio"] = out["non_matches"] / total
+        out["unlabeled_ratio"] = out["unlabeled"] / total
+    if schemas is not None:
+        srow = (
+            schemas.groupBy(schema_col)
+            .agg(F.countDistinct(attr_col).alias("n"))
+            .agg(F.count("*").alias("schemas"), F.avg("n").alias("avg_attrs"))
+            .collect()[0]
+        )
+        out["total_schemas"] = int(srow["schemas"] or 0)
+        out["avg_attributes_per_schema"] = (
+            float(srow["avg_attrs"]) if srow["avg_attrs"] is not None else 0.0
+        )
+    return out
+
+
+def matching_pair_metrics(
+    predicted: DataFrame,
+    gold: DataFrame,
+    src_col: str = "source_attribute",
+    dst_col: str = "target_attribute",
+    match_col: str = "is_match",
+) -> dict:
+    """Task-result P/R/F1 for schema matching: predicted match pairs
+    vs gold-labeled mappings (the evaluation the reference's
+    get_ground_truth labels exist to drive, schema_matching/data.py:
+    100-112). ``predicted`` lists proposed (source, target) matches;
+    ``gold`` carries the labeled mappings. Unlabeled gold rows are
+    excluded (reference semantics: None is not a judgment). One
+    full-outer join on the pair key, one aggregation."""
+    p = predicted.select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"), F.lit(True).alias("_pred")
+    ).distinct()
+    g = gold.filter(F.col(match_col).isNotNull()).select(
+        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"),
+        F.col(match_col).alias("_gold"),
+    ).distinct()
+    j = p.join(g, ["_s", "_t"], "full_outer")
+    row = j.agg(
+        F.sum((F.col("_pred").isNotNull() & (F.col("_gold") == True)).cast("long")).alias("tp"),  # noqa: E712
+        F.sum(F.col("_pred").isNotNull().cast("long")).alias("n_pred"),
+        F.sum((F.col("_gold") == True).cast("long")).alias("n_gold"),  # noqa: E712
+    ).collect()[0]
+    tp = int(row["tp"] or 0)
+    n_pred = int(row["n_pred"] or 0)
+    n_gold = int(row["n_gold"] or 0)
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "true_positives": tp,
+        "predicted_matches": n_pred,
+        "gold_matches": n_gold,
         "precision": precision,
         "recall": recall,
         "f1": f1,

@@ -32,3 +32,10 @@ from odibel_spark.operators.relational import (  # noqa: F401
     seeded_sample,
     top_k_per_group,
 )
+from odibel_spark.operators.similarity_graph import (  # noqa: F401
+    PropertyComparator,
+    build_similarity_edges,
+    classify_links,
+    filter_similarity_links,
+    similarity_clusters,
+)

@@ -87,3 +87,110 @@ def test_cluster_pair_metrics(spark):
         gold.select("id", F.col("recId").alias("cluster")), gold
     )
     assert perfect["precision"] == perfect["recall"] == perfect["f1"] == 1.0
+
+
+def test_fusion_data_metrics_reference_semantics(spark):
+    """Mirrors EntityFusionEvaluator.evaluate_fusion_data
+    (reference entity_fusion/eval.py:102-142) on the fixture it
+    implies: 3 clusters of sizes 3/2/1, two with fused entities →
+    totals, size stats, fused/unfused split, fusion_ratio 2/3."""
+    from odibel_spark.api import fusion_data_metrics
+
+    members = spark.createDataFrame(
+        [("c1", "e1"), ("c1", "e2"), ("c1", "e3"),
+         ("c2", "e4"), ("c2", "e5"),
+         ("c3", "e6")],
+        "cluster_id string, entity_id string",
+    )
+    fused = spark.createDataFrame([("c1",), ("c2",)], "cluster_id string")
+    m = fusion_data_metrics(members, fused)
+    assert m["total_clusters"] == 3
+    assert m["total_entities"] == 6
+    assert m["avg_cluster_size"] == 2.0
+    assert m["min_cluster_size"] == 1
+    assert m["max_cluster_size"] == 3
+    assert m["fused_clusters"] == 2
+    assert m["unfused_clusters"] == 1
+    assert m["fusion_ratio"] == pytest.approx(2 / 3)
+    # without a fused table, the ratio keys are absent (reference:
+    # fusion_ratio only computed when clusters exist / data present)
+    m2 = fusion_data_metrics(members)
+    assert "fusion_ratio" not in m2 and m2["total_clusters"] == 3
+
+
+def test_fuse_clusters_rules_and_quality(spark):
+    """FusionRule vocabulary executed (reference entity_fusion/
+    data.py:26-32 names max/min/concat/average but never runs them)
+    + task-result quality vs a gold fused table."""
+    from odibel_spark.api import fuse_clusters, fusion_quality_metrics
+
+    entities = spark.createDataFrame(
+        [("c1", "e1", "pop", "100"), ("c1", "e2", "pop", "300"),
+         ("c1", "e1", "name", "Leipzig"), ("c1", "e2", "name", "leipzig"),
+         ("c2", "e3", "pop", "50"), ("c2", "e3", "name", "Halle")],
+        "cluster_id string, entity_id string, attribute string, value string",
+    )
+    fused = fuse_clusters(
+        entities,
+        {"pop": "average", "name": "concat"},
+    )
+    got = {(r.cluster_id, r.attribute): r.fused_value for r in fused.collect()}
+    assert got[("c1", "pop")] == "200.0"
+    assert got[("c1", "name")] == "Leipzig,leipzig"  # sorted distinct concat
+    assert got[("c2", "pop")] == "50.0"
+    with pytest.raises(ValueError, match="unknown fusion rule"):
+        fuse_clusters(entities, {"pop": "median"})
+
+    gold = spark.createDataFrame(
+        [("c1", "pop", "200.0"), ("c1", "name", "Leipzig"),
+         ("c2", "pop", "50.0"), ("c2", "name", "Halle")],
+        "cluster_id string, attribute string, fused_value string",
+    )
+    q = fusion_quality_metrics(fused, gold)
+    # c1/name differs (concat vs gold single value); rest correct
+    assert q["total_attributes"] == 4
+    assert q["correct_attributes"] == 3
+    assert q["attribute_accuracy"] == pytest.approx(0.75)
+    assert q["total_clusters"] == 2
+    assert q["exact_clusters"] == 1  # only c2 fully correct
+    assert q["entity_accuracy"] == pytest.approx(0.5)
+
+
+def test_matching_metrics_reference_semantics(spark):
+    """Mirrors SchemaMatchingEvaluator.evaluate_matching_data
+    (reference schema_matching/eval.py:105-145): the nullable
+    is_match boolean three-way split + avg attributes per schema;
+    then P/R/F1 of predicted pairs vs the labeled gold."""
+    from odibel_spark.api import matching_data_metrics, matching_pair_metrics
+
+    mappings = spark.createDataFrame(
+        [("a.name", "b.label", True), ("a.pop", "b.population", True),
+         ("a.name", "b.population", False), ("a.zip", "b.code", None)],
+        "source_attribute string, target_attribute string, is_match boolean",
+    )
+    schemas = spark.createDataFrame(
+        [("a", "name"), ("a", "pop"), ("a", "zip"),
+         ("b", "label"), ("b", "population"), ("b", "code"), ("b", "extra")],
+        "schema string, attribute string",
+    )
+    m = matching_data_metrics(mappings, schemas)
+    assert m["total_mappings"] == 4
+    assert m["matches"] == 2 and m["non_matches"] == 1 and m["unlabeled"] == 1
+    assert m["match_ratio"] == pytest.approx(0.5)
+    assert m["unlabeled_ratio"] == pytest.approx(0.25)
+    assert m["total_schemas"] == 2
+    assert m["avg_attributes_per_schema"] == pytest.approx(3.5)
+
+    predicted = spark.createDataFrame(
+        [("a.name", "b.label"),       # tp
+         ("a.name", "b.population"),  # labeled false → fp
+         ("a.zip", "b.code")],        # unlabeled → excluded from gold, counts as pred
+        "source_attribute string, target_attribute string",
+    )
+    r = matching_pair_metrics(predicted, mappings)
+    assert r["true_positives"] == 1
+    assert r["predicted_matches"] == 3
+    assert r["gold_matches"] == 2
+    assert r["precision"] == pytest.approx(1 / 3)
+    assert r["recall"] == pytest.approx(0.5)
+    assert r["f1"] == pytest.approx(2 * (1 / 3) * 0.5 / (1 / 3 + 0.5))

@@ -256,3 +256,81 @@ def test_sample_by_type_targets_meets_quotas(spark):
     assert by_type["<Rare>"] == 3
     sampled = {r.s for r in out.select("s").distinct().collect()}
     assert len(sampled - {"r0", "r1", "r2"}) == 4
+
+
+def test_similarity_graph_end_to_end(spark):
+    """Raw FAMER-shaped entities → blocked similarity edges →
+    strong/normal/weak link classification → clusters. Expectations
+    hand-derived by walking the reference's filter_links loop
+    (graph_construction.py:19-99): strong = reciprocal max-sim per
+    other-resource (ties count), normal = one-directional max, weak
+    removed; clusters = components of the kept edges."""
+    from odibel_spark.operators import (
+        PropertyComparator,
+        build_similarity_edges,
+        classify_links,
+        similarity_clusters,
+    )
+
+    vertices = spark.createDataFrame(
+        [
+            ("a1", "dbp", {"name": "alice smith", "blk": "a"}),
+            ("a2", "dbp", {"name": "alican smith", "blk": "a"}),
+            ("b1", "dbp", {"name": "bob jones", "blk": "b"}),
+            ("w1", "wd", {"name": "alice smith", "blk": "a"}),
+            ("w2", "wd", {"name": "bob jones", "blk": "b"}),
+            ("w3", "wd", {"name": "alyce smith", "blk": "a"}),
+        ],
+        "id string, resource string, props map<string,string>",
+    )
+    comps = [PropertyComparator("name", "jaccard")]
+    edges = build_similarity_edges(vertices, comps, block_on="blk")
+    got = {(r.src, r.dst): round(r.sim, 6) for r in edges.collect()}
+    third = round(1 / 3, 6)
+    assert got == {
+        ("a1", "w1"): 1.0,
+        ("a1", "w3"): third,
+        ("a2", "w1"): third,
+        ("a2", "w3"): third,
+        ("b1", "w2"): 1.0,
+    }
+    # blocking: no cross-block pairs (e.g. a1-w2 absent) and no
+    # same-resource pairs (a1-a2 absent) — never a global cross join
+
+    classified = classify_links(edges, vertices)
+    kinds = {(r.src, r.dst): r.link_type for r in classified.collect()}
+    assert kinds == {
+        ("a1", "w1"): "strong",   # reciprocal max 1.0
+        ("a2", "w3"): "strong",   # tied max both directions (1/3)
+        ("b1", "w2"): "strong",
+        ("a2", "w1"): "normal",   # a2's best, but w1's best is a1
+        ("a1", "w3"): "normal",   # w3's (tied) best, but a1's best is w1
+    }
+
+    # strong-only: precise 2-entity clusters
+    strong = similarity_clusters(vertices, comps, block_on="blk", types=("strong",))
+    by_cluster = {}
+    for r in strong.collect():
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    assert sorted(by_cluster.values(), key=sorted) == [
+        {"a1", "w1"}, {"a2", "w3"}, {"b1", "w2"}
+    ]
+
+    # strong+normal (reference default): block-a entities coalesce
+    both = similarity_clusters(vertices, comps, block_on="blk")
+    by_cluster = {}
+    for r in both.collect():
+        by_cluster.setdefault(r.cluster, set()).add(r.id)
+    assert sorted(by_cluster.values(), key=sorted) == [
+        {"a1", "a2", "w1", "w3"}, {"b1", "w2"}
+    ]
+
+    # min_sim prunes before classification; exact+levenshtein kinds run
+    few = build_similarity_edges(vertices, comps, block_on="blk", min_sim=0.5)
+    assert {(r.src, r.dst) for r in few.collect()} == {("a1", "w1"), ("b1", "w2")}
+    multi = build_similarity_edges(
+        vertices,
+        [PropertyComparator("name", "levenshtein"), PropertyComparator("blk", "exact", 0.5)],
+        block_on="blk",
+    )
+    assert multi.filter("src = 'a1' and dst = 'w1'").first().sim == 1.0
