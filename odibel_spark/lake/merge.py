@@ -123,7 +123,7 @@ def merge_upsert(
 
     if touched_buckets is not None and not touched_buckets:
         return table.commit_metadata(
-            {**(summary or {}), "op": "merge", "empty_batch": True}, watermarks_update
+            LakeTable._tagged({**(summary or {}), "empty_batch": True}, "merge"), watermarks_update
         )
 
     if table.properties().get("merge_mode") == "mor":
@@ -167,8 +167,9 @@ def merge_upsert(
         out_cols.append(is_del.alias(DELETED_FIELD))
         return table.append(
             winners.select(*out_cols),
-            summary={**(summary or {}), "op": "merge-mor"},
+            summary=summary,
             watermarks_update=watermarks_update,
+            op="merge-mor",
         )
 
     base_version = table.current_version()
@@ -185,7 +186,7 @@ def merge_upsert(
     )
     if not touched:
         return table.commit_metadata(
-            {**(summary or {}), "op": "merge", "empty_batch": True}, watermarks_update
+            LakeTable._tagged({**(summary or {}), "empty_batch": True}, "merge"), watermarks_update
         )
 
     src_cols = [F.col(c) for c in key_cols]
@@ -280,7 +281,7 @@ def compact_buckets(
             )
         try:
             return table.replace_buckets(
-                target, folded, summary={**(summary or {}), "op": "compact"},
+                target, folded, summary=summary, op="compact",
                 base_version=base_version,
             )
         except CommitConflict:
@@ -300,5 +301,5 @@ def compact_tombstones(table: LakeTable, below_lsn: int) -> dict:
     keep = df.filter(~(F.col(DELETED_FIELD) & (F.col(LSN_FIELD) < F.lit(below_lsn))))
     all_buckets = set(range(spec.buckets))
     return table.replace_buckets(
-        all_buckets, keep, summary={"op": "compact-tombstones"}, base_version=base_version
+        all_buckets, keep, op="compact-tombstones", base_version=base_version
     )

@@ -472,6 +472,17 @@ class LakeTable:
                 time.sleep(0.05 * (attempt + 1))
         raise CommitConflict("unreachable")
 
+    @staticmethod
+    def _tagged(summary: dict | None, op: str) -> dict:
+        """Commit summary with the authoritative ``op`` tag. The tag is
+        chosen by the lake primitive (or an explicit ``op=`` argument
+        at a lake-layer call site), never by a caller-supplied summary
+        dict: ``changes()`` keys changelog visibility off ``op``, so a
+        context summary like ``{"op": "maintenance"}`` clobbering
+        ``compact`` would make a physical rewrite look like O(table)
+        change rows. Any ``op`` key in ``summary`` is dropped."""
+        return {**{k: v for k, v in (summary or {}).items() if k != "op"}, "op": op}
+
     def append_rows(self, rows: list[dict], summary: dict | None = None) -> dict:
         """Driver-side append of a handful of rows (lineage/metrics
         bookkeeping): writes one parquet file via pyarrow, no Spark job.
@@ -506,7 +517,7 @@ class LakeTable:
                 "bytes": os.path.getsize(path),
             }
         ]
-        return self._next_commit(new, lambda c: c["files"], {**(summary or {}), "op": "append"})
+        return self._next_commit(new, lambda c: c["files"], self._tagged(summary, "append"))
 
     def append(
         self,
@@ -514,17 +525,18 @@ class LakeTable:
         summary: dict | None = None,
         watermarks_update: dict | None = None,
         write_salt: int = 1,
+        op: str = "append",
     ) -> dict:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
         return self._next_commit(
-            new, lambda c: c["files"], {**(summary or {}), "op": "append"}, watermarks_update
+            new, lambda c: c["files"], self._tagged(summary, op), watermarks_update
         )
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
         cur = self.manifest()
         new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
-        return self._next_commit(new, [], {**(summary or {}), "op": "overwrite"})
+        return self._next_commit(new, [], self._tagged(summary, "overwrite"))
 
     def commit_metadata(self, summary: dict, watermarks_update: dict | None = None) -> dict:
         """Metadata-only commit (e.g. advance an epoch watermark for an
@@ -570,6 +582,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         write_salt: int = 1,
         base_version: int | None = None,
+        op: str = "merge",
     ) -> dict:
         """Copy-on-write commit unit: atomically swap all files of the
         given buckets for the new data (which must only contain rows of
@@ -605,7 +618,7 @@ class LakeTable:
             return [f for f in fresh["files"] if f.get("bucket") not in buckets]
 
         return self._next_commit(
-            new, keep_fn, {"op": "merge", **(summary or {})}, watermarks_update, schema=schema
+            new, keep_fn, self._tagged(summary, op), watermarks_update, schema=schema
         )
 
     # ------------------------------------------------------ maintenance
