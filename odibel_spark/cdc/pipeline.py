@@ -51,6 +51,13 @@ from odibel_spark.lake.table import BucketSpec, LakeTable
 #: WAL bookkeeping columns that never become table payload
 WAL_META_COLS = ("lsn", "op", "wal_chunk")
 
+#: write_salt="auto" floor: the hottest touched bucket must hold at
+#: least this many rows in the batch before salting engages — below
+#: it a "hot" bucket is just a small batch, and splitting it only
+#: multiplies delta files (MoR read amplification) with no straggler
+#: relief.
+_MIN_SALT_HOT = 1024
+
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("stream_id", T.StringType(), False),
@@ -234,13 +241,19 @@ class TranscriptCdcPipeline:
             if write_salt == "auto":
                 # skew-adaptive: the stats pass already knows per-bucket
                 # sizes — split only when one bucket dominates (>= 4x
-                # mean), to ~2x-mean task sizes, capped at 8
+                # the mean over TOUCHED buckets), to ~2x-mean task
+                # sizes, capped at 8. The mean excludes untouched
+                # buckets so a small batch that happens to land in few
+                # buckets isn't mistaken for skew, and an absolute
+                # floor (_MIN_SALT_HOT) keeps tiny batches unsalted —
+                # splitting a few-thousand-row task is pure delta-file
+                # overhead with no straggler to fix.
                 write_salt = 1
-                ok_counts = [r["n"] for r in stats if not r["_dead"]]
+                ok_counts = [r["n"] for r in stats if not r["_dead"] and r["n"]]
                 if ok_counts and n_ok:
-                    mean = n_ok / spec.buckets
+                    mean = n_ok / len(ok_counts)
                     hot = max(ok_counts)
-                    if mean > 0 and hot >= 4 * mean:
+                    if mean > 0 and hot >= 4 * mean and hot >= _MIN_SALT_HOT:
                         write_salt = min(8, max(2, round(hot / (2 * mean))))
             merge_upsert(
                 table,

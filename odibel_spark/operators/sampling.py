@@ -62,19 +62,36 @@ def resource_adjacency(
 
 
 def related_entities(
-    seeds: DataFrame, adjacency: DataFrame, related_per_seed: int, seed: int
+    seeds: DataFrame,
+    adjacency: DataFrame,
+    related_per_seed: int,
+    seed: int,
+    broadcast_seeds: bool = True,
 ) -> DataFrame:
     """Up to ``related_per_seed`` distinct neighbors per seed entity,
     chosen by the deterministic md5 ranking (reference
     ranked_neighbors, rdf2.py:360-380 — W1 row_number, rand → md5).
 
-    The seed set (a handful of sampled entities) is broadcast so the
-    scan-side join filters the adjacency at the source — no shuffle of
-    the full edge set; the neighbor dedup then runs on the seed-scoped
-    slice only, so a raw (``deduplicate=False``) adjacency costs the
-    same as a pre-deduplicated one."""
+    The seed set is broadcast so the scan-side join filters the
+    adjacency at the source — no shuffle of the full edge set; the
+    neighbor dedup then runs on the seed-scoped slice only, so a raw
+    (``deduplicate=False``) adjacency costs the same as a
+    pre-deduplicated one.
+
+    **Small-seed-set assumption** (``broadcast_seeds=True``, the
+    default): the forced broadcast is sized for the sampler call sites
+    — seeds are the sampled entities, bounded by ``sample_size``
+    (thousands at most), and the broadcast is what keeps the 10^10-edge
+    adjacency from shuffling. A caller expanding a huge seed frame
+    (beyond ``autoBroadcastJoinThreshold`` scale) must pass
+    ``broadcast_seeds=False`` to let the planner degrade to a shuffle
+    join instead of risking driver memory. A size-stats probe was
+    considered and rejected: Spark's estimate falls back to
+    ``defaultSizeInBytes`` (effectively ∞) for many perfectly tiny
+    plans, silently dropping the broadcast exactly where it matters."""
+    seed_side = F.broadcast(seeds) if broadcast_seeds else seeds
     neighbors = (
-        adjacency.join(F.broadcast(seeds), seeds["entity"] == adjacency["src"], "inner")
+        adjacency.join(seed_side, seeds["entity"] == adjacency["src"], "inner")
         .select(seeds["entity"].alias("seed_entity"), F.col("dst").alias("entity"))
         .dropDuplicates(["seed_entity", "entity"])
     )

