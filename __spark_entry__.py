@@ -18,7 +18,9 @@ round(…, 6) on derived doubles, explicit tie-breaks on every top-k.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -39,6 +41,27 @@ T1 = 1704412800  # 2024-01-05 00:00:00 UTC
 T2 = 1705276800  # 2024-01-15 00:00:00 UTC
 
 EVENT_KEY = ["user_id", "event_type"]
+
+
+def _scratch_dir(name: str) -> str:
+    """Stable per-query scratch dir for pipeline-backed driver queries.
+
+    The returned DataFrames read these paths lazily (the driver
+    collects later), so deletion can't happen inside the query.
+    Instead: one stable path per query name, purged and recreated on
+    re-invocation (repeated sweeps don't accumulate dirs), and the
+    whole root removed at interpreter exit."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="odibel-driver-")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    d = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+_SCRATCH_ROOT: str | None = None
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -500,15 +523,23 @@ def q_stream_windowed_counts(spark, sf_dir):
 
 
 # ----- engine-native (no SQL oracle: rows-only driver check) ----------
+_STREAM_STATE_RUNS = iter(range(10**9))
+
+
 def q_stream_running_state(spark, sf_dir):
     """applyInPandasWithState custom stateful operator over a generated
-    WAL stream: per-conversation applied-LSN HWM + event count carried
-    across micro-batches in managed state (no SQL equivalent — the
-    driver records a rows-only check)."""
+    WAL stream, self-checked: the returned DataFrame is the DIFF
+    between the streaming final state (per-conversation applied-LSN
+    HWM + event count carried across micro-batches in managed state)
+    and the batch ``groupBy(max(lsn), count)`` oracle computed over the
+    same WAL in the same job. An EMPTY result means the stateful
+    operator converged to batch semantics — the driver's rows-only
+    check (no SQL oracle exists for managed state) therefore asserts
+    semantics, not just shape: expected row count is 0 mismatches."""
     from odibel_spark.cdc import WalConfig, write_wal_files
     from odibel_spark.streaming import running_turn_state
 
-    base = tempfile.mkdtemp(prefix="odibel-state-")
+    base = _scratch_dir("stream_running_state")
     cfg = WalConfig(n_events=3000, n_convs=50, seed=23)
     wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=3)
     schema = spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(wal).schema
@@ -516,7 +547,7 @@ def q_stream_running_state(spark, sf_dir):
         spark.readStream.schema(schema).option("recursiveFileLookup", "true")
         .option("maxFilesPerTrigger", 1).parquet(wal)
     )
-    name = f"state_{os.path.basename(base).replace('-', '_')}"
+    name = f"state_run_{next(_STREAM_STATE_RUNS)}"
     q = (
         running_turn_state(stream, "conv_id")
         .writeStream.format("memory").queryName(name).outputMode("update")
@@ -526,11 +557,22 @@ def q_stream_running_state(spark, sf_dir):
     )
     q.awaitTermination()
     emissions = spark.sql(f"SELECT * FROM {name}")
+    final = emissions.groupBy("conv_id").agg(
+        F.max("applied_lsn_hwm").alias("applied_lsn_hwm"),
+        F.max("n_events_total").alias("n_events_total"),
+    )
+    batch = (
+        spark.read.option("recursiveFileLookup", "true").parquet(wal)
+        .groupBy("conv_id")
+        .agg(F.max("lsn").alias("oracle_hwm"), F.count("*").alias("oracle_n"))
+    )
     return (
-        emissions.groupBy("conv_id")
-        .agg(
-            F.max("applied_lsn_hwm").alias("applied_lsn_hwm"),
-            F.max("n_events_total").alias("n_events_total"),
+        final.join(batch, "conv_id", "full_outer")
+        .filter(
+            F.col("applied_lsn_hwm").isNull()
+            | F.col("oracle_hwm").isNull()
+            | (F.col("applied_lsn_hwm") != F.col("oracle_hwm"))
+            | (F.col("n_events_total") != F.col("oracle_n"))
         )
         .orderBy("conv_id")
     )
@@ -571,7 +613,7 @@ def q_transcript_cdc_replay(spark, sf_dir):
     coverage for watermarked stream dedup lives in tests/."""
     from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
 
-    base = tempfile.mkdtemp(prefix="odibel-entry-")
+    base = _scratch_dir("transcript_cdc_replay")
     wal = os.path.join(base, "wal")
     _events_as_wal(_t(spark, sf_dir, "events")).repartition(4).write.parquet(wal)
     p = TranscriptCdcPipeline(
@@ -602,7 +644,7 @@ def q_lake_changelog_state(spark, sf_dir):
     duplicated any commit's rows, the hash check fails."""
     from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
 
-    base = tempfile.mkdtemp(prefix="odibel-entry-")
+    base = _scratch_dir("lake_changelog_state")
     wal = os.path.join(base, "wal")
     _events_as_wal(_t(spark, sf_dir, "events")).repartition(4).write.parquet(wal)
     p = TranscriptCdcPipeline(

@@ -58,7 +58,15 @@ def cpu_reference_miters(seconds: float = 2.0) -> float:
     speed reference recorded with every bench run. The shared sandbox
     host's per-core speed varies several-fold between sessions, so
     absolute events/sec numbers from different rounds are only
-    comparable after normalizing by this."""
+    comparable after normalizing by this.
+
+    LEGACY kernel: checks the wall clock every iteration, so it partly
+    measures clock-call overhead. Kept verbatim because round 2's
+    recorded ``value_per_cpu_miter`` baseline (12,714.7) was normalized
+    by THIS kernel — changing it would silently break the one
+    cross-round comparator that survives host-speed swings. New rounds
+    also record :func:`cpu_reference_miters_fixedwork`, the clean
+    kernel that becomes the comparator once two rounds carry it."""
     import time as _t
 
     t0 = _t.time()
@@ -66,6 +74,27 @@ def cpu_reference_miters(seconds: float = 2.0) -> float:
     while _t.time() - t0 < seconds:
         x += 1
     return x / 1e6 / seconds
+
+
+def cpu_reference_miters_fixedwork(target_seconds: float = 1.0, chunk: int = 2_000_000) -> float:
+    """Fixed-work host-speed reference: times pure integer-arithmetic
+    chunks with ``perf_counter`` checked once per *chunk* (not per
+    iteration), so the number tracks interpreter/CPU speed rather than
+    clock-call overhead."""
+    import time as _t
+
+    total = 0
+    t0 = _t.perf_counter()
+    while True:
+        i = 0
+        x = 0
+        while i < chunk:  # no clock calls inside the timed kernel
+            x += i
+            i += 1
+        total += chunk
+        if _t.perf_counter() - t0 >= target_seconds:
+            break
+    return total / 1e6 / (_t.perf_counter() - t0)
 
 
 def main() -> None:
@@ -148,6 +177,7 @@ def main() -> None:
 
     total = round(time.time() - t_all, 3)
     miters = cpu_reference_miters()
+    miters_fw = cpu_reference_miters_fixedwork()
     out = {
         # headline = the BASELINE.json north metric: sustained
         # change-events/sec through the full exactly-once streaming
@@ -163,12 +193,24 @@ def main() -> None:
         "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
         "cdc_pipeline_mor_events_per_sec": round(N_EVENTS / pipe_mor_s, 1),
         "cpus": CPUS,
+        # trigger posture, so the headline's one-batch configuration is
+        # self-describing: the WAL's n_files segments are replayed in a
+        # single micro-batch (maxFilesPerTrigger = n_files ⇒ 1 epoch).
+        # Per-epoch cadence behaviour is tools/scaling_bench.py's job.
+        "cdc_wal_files": n_files,
+        "cdc_max_files_per_trigger": n_files,
+        "cdc_n_epochs": 1,
         # host speed reference: single-core M iters/s at bench time.
         # The shared sandbox host swings several-fold between sessions
         # (see BENCH/BASELINE.md variance appendix), so cross-round
-        # comparisons should use the normalized headline below.
+        # comparisons should use the normalized headlines below.
+        # *_fixedwork is the clean kernel (perf_counter, clock checked
+        # per 2M-iteration chunk); the unsuffixed pair keeps round 2's
+        # legacy kernel for continuity with its 12,714.7 baseline.
         "cpu_ref_miters": round(miters, 1),
         "value_per_cpu_miter": round(N_EVENTS / pipe_mor_s / miters, 1),
+        "cpu_ref_miters_fixedwork": round(miters_fw, 1),
+        "value_per_cpu_miter_fixedwork": round(N_EVENTS / pipe_mor_s / miters_fw, 1),
     }
     print(json.dumps(out))
     spark.stop()
