@@ -22,7 +22,7 @@ production throughput).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from odibel_spark.functions.text import document_fingerprint, normalized_text
@@ -197,20 +197,34 @@ def _fingerprint_collapse(
 
     Returns ``(members, rep_docs)``: members = (id, _fp, _rep, _n)
     with _rep the group's min id (cached — reused by both expansion
-    joins), rep_docs = the input rows restricted to representatives.
-    Output of any downstream pair stage over rep_docs, re-expanded
-    with ``_expand_cross`` + ``_identical_pairs``, is EXACTLY the
-    uncollapsed output: exact duplicates have identical shingle sets
-    and signatures, so they collide with precisely the same partners
-    and verify at the same similarity as their representative."""
-    w = Window.partitionBy("_fp")
-    annotated = (
-        docs.withColumn("_fp", fingerprint)
-        .withColumn("_rep", F.min(id_col).over(w))
-        .withColumn("_n", F.count("*").over(w))
+    joins), rep_docs = one ``(id, content)`` row per fingerprint (the
+    representative id with the group's — byte-identical — content; the
+    downstream shingle/signature stages consume exactly those two
+    columns). Output of any downstream pair stage over rep_docs,
+    re-expanded with ``_expand_cross`` + ``_identical_pairs``, is
+    EXACTLY the uncollapsed output: exact duplicates have identical
+    shingle sets and signatures, so they collide with precisely the
+    same partners and verify at the same similarity as their
+    representative.
+
+    Shuffle shape (why groupBy, not a window): a window over ``_fp``
+    shuffles FULL rows and cannot partially aggregate, so a
+    mass-duplicate corpus — the exact workload this guard exists for —
+    ships every duplicate's content through the exchange. The groupBy
+    combines map-side (``any_value`` keeps one content per fingerprint
+    per task), so shuffle volume collapses toward the number of
+    DISTINCT documents; membership then joins back on two narrow
+    columns (id, _fp) only."""
+    withfp = docs.select(F.col(id_col), F.col(text_col)).withColumn("_fp", fingerprint)
+    groups = withfp.groupBy("_fp").agg(
+        F.min(id_col).alias("_rep"),
+        F.count("*").alias("_n"),
+        F.any_value(text_col).alias(text_col),
     )
-    members = _cache_scoped(annotated.select(id_col, "_fp", "_rep", "_n"))
-    rep_docs = annotated.filter(F.col(id_col) == F.col("_rep")).drop("_fp", "_rep", "_n")
+    rep_docs = groups.select(F.col("_rep").alias(id_col), text_col)
+    members = _cache_scoped(
+        withfp.select(id_col, "_fp").join(groups.select("_fp", "_rep", "_n"), "_fp")
+    )
     return members, rep_docs
 
 
