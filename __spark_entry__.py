@@ -495,6 +495,77 @@ def q_bench_splits(spark, sf_dir):
     return out.groupBy("split").agg(F.count("*").alias("n"), F.min("doc_id").alias("min_id"))
 
 
+def q_fusion_rules(spark, sf_dir):
+    """Executable attribute-level fusion over entity clusters — the
+    FusionRule vocabulary the reference only declares
+    (entity_fusion/data.py:26-32), run as one groupBy + per-attribute
+    rule CASE. Clusters = customers per nation; rules exercise
+    average / concat / max with the min default. The averaged
+    attribute is pinned through decimal(18,6) so the string renders
+    identically in both engines."""
+    from odibel_spark.api import fuse_clusters
+
+    c = _t(spark, sf_dir, "customer")
+    attrs = F.array(
+        F.struct(
+            F.lit("acctbal").alias("attribute"),
+            F.col("c_acctbal").cast("string").alias("value"),
+        ),
+        F.struct(F.lit("mktsegment").alias("attribute"), F.col("c_mktsegment").alias("value")),
+        F.struct(F.lit("name").alias("attribute"), F.col("c_name").alias("value")),
+    )
+    long = c.select(
+        F.col("c_nationkey").cast("long").alias("cluster_id"), F.explode(attrs).alias("av")
+    ).select("cluster_id", F.col("av.attribute").alias("attribute"), F.col("av.value").alias("value"))
+    fused = fuse_clusters(
+        long, {"acctbal": "average", "mktsegment": "concat", "name": "max"}, default_rule="min"
+    )
+    return fused.select(
+        "cluster_id",
+        "attribute",
+        F.when(
+            F.col("attribute") == "acctbal",
+            F.col("fused_value").cast("decimal(18,6)").cast("string"),
+        )
+        .otherwise(F.col("fused_value"))
+        .alias("fused_value"),
+    )
+
+
+def q_similarity_graph_links(spark, sf_dir):
+    """Similarity-graph construction from raw entities + FAMER link
+    classification (reference graph_construction.py:11-99, the
+    driver-side NetworkX loop made distributed): customers and
+    suppliers as two resources, mod-key blocking, normalized
+    Levenshtein name similarity, then reciprocal-best-match
+    strong/normal/weak tagging."""
+    from odibel_spark.operators import PropertyComparator, build_similarity_edges, classify_links
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id"),
+        F.lit("cust").alias("resource"),
+        F.create_map(
+            F.lit("name"), F.col("c_name"),
+            F.lit("blk"), (F.col("c_custkey") % 25).cast("string"),
+        ).alias("props"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("id"),
+        F.lit("supp").alias("resource"),
+        F.create_map(
+            F.lit("name"), F.col("s_name"),
+            F.lit("blk"), (F.col("s_suppkey") % 25).cast("string"),
+        ).alias("props"),
+    )
+    verts = c.unionByName(s)
+    edges = build_similarity_edges(
+        verts, [PropertyComparator("name", "levenshtein")], block_on="blk", min_sim=0.3
+    )
+    return classify_links(edges, verts).select(
+        "src", "dst", F.round("sim", 6).alias("sim"), "link_type"
+    )
+
+
 def q_graph_components(spark, sf_dir):
     """Near-duplicate clusters: MinHash-LSH candidate pairs as an edge
     list → distributed connected components (reference derives clusters
@@ -686,7 +757,19 @@ def q_rdf_reified_rollup(spark, sf_dir):
     revision bounds, md5 bnode labels) under the hash oracle."""
     from odibel_spark.sources.rdf import temporal_windows_to_reified
 
-    w = _event_windows(spark, sf_dir).select(
+    triples = temporal_windows_to_reified(_temporal_terms(spark, sf_dir))
+    return triples.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_statements"),
+        F.min("o").alias("min_o"),
+        F.max("o").alias("max_o"),
+    )
+
+
+def _temporal_terms(spark, sf_dir):
+    """Shared RDF-term projection of the temporal windows for the
+    three alternative output-model rollups."""
+    return _event_windows(spark, sf_dir).select(
         F.concat(F.lit("<u/"), F.col("user_id").cast("string"), F.lit(">")).alias("s"),
         F.concat(F.lit("<p/"), F.col("event_type"), F.lit(">")).alias("p"),
         F.concat(
@@ -694,11 +777,38 @@ def q_rdf_reified_rollup(spark, sf_dir):
         ).alias("o"),
         "v_start", "v_end", "t_start", "t_end",
     )
-    triples = temporal_windows_to_reified(w)
+
+
+def q_rdf_property_tkg_rollup(spark, sf_dir):
+    """Temporal windows through the property-TKG output model
+    (reference ToRDFPropertyTKG.scala:1-27 contract: entity →revision→
+    bnode holding the property value plus start/end), rolled up per
+    predicate — pins the revision-link shape, the original predicates
+    surviving on revision nodes, and the dateTime formatting."""
+    from odibel_spark.sources.rdf import temporal_windows_to_property_tkg
+
+    triples = temporal_windows_to_property_tkg(_temporal_terms(spark, sf_dir))
+    return triples.groupBy("p").agg(
+        F.count("*").alias("n_triples"),
+        F.countDistinct("s").alias("n_subjects"),
+        F.min("o").alias("min_o"),
+        F.max("o").alias("max_o"),
+    )
+
+
+def q_rdf_star_rollup(spark, sf_dir):
+    """Temporal windows through the RDF-star output model (reference
+    CSVToRDFStar, TKGModelMgr.scala:130-145): quoted triple
+    ``<< s p o >>`` as subject of 4 annotation triples — the rollup's
+    distinct-subject count and min/max subject pin the quoted-term
+    formatting under the hash oracle."""
+    from odibel_spark.sources.rdf import temporal_windows_to_rdf_star
+
+    triples = temporal_windows_to_rdf_star(_temporal_terms(spark, sf_dir))
     return triples.groupBy("p").agg(
         F.count("*").alias("n_triples"),
         F.countDistinct("s").alias("n_statements"),
-        F.min("o").alias("min_o"),
+        F.min("s").alias("min_s"),
         F.max("o").alias("max_o"),
     )
 
@@ -770,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_by_type_targets": q_sample_by_type_targets,
         "sample_all_types": q_sample_all_types,
         "bench_splits": q_bench_splits,
+        "fusion_rules": q_fusion_rules,
+        "similarity_graph_links": q_similarity_graph_links,
         "graph_components": q_graph_components,
         "stream_windowed_counts": q_stream_windowed_counts,
         "stream_running_state": q_stream_running_state,
@@ -777,6 +889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lake_changelog_state": q_lake_changelog_state,
         "multimodal_features": q_multimodal_features,
         "rdf_reified_rollup": q_rdf_reified_rollup,
+        "rdf_property_tkg_rollup": q_rdf_property_tkg_rollup,
+        "rdf_star_rollup": q_rdf_star_rollup,
     }
 
 
@@ -1359,6 +1473,75 @@ SELECT CASE WHEN fr < 0.2 THEN 'test' ELSE 'train' END AS split,
 FROM f GROUP BY 1
 """
 
+    sql["fusion_rules"] = """
+WITH long AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS cluster_id, 'acctbal' AS attribute,
+           CAST(c_acctbal AS VARCHAR) AS value FROM customer
+    UNION ALL
+    SELECT CAST(c_nationkey AS BIGINT), 'mktsegment', c_mktsegment FROM customer
+    UNION ALL
+    SELECT CAST(c_nationkey AS BIGINT), 'name', c_name FROM customer
+)
+SELECT cluster_id, attribute,
+       CASE attribute
+           WHEN 'acctbal' THEN CAST(CAST(avg(TRY_CAST(value AS DOUBLE)) AS DECIMAL(18,6)) AS VARCHAR)
+           WHEN 'mktsegment' THEN array_to_string(list_sort(list_distinct(list(value))), ',')
+           WHEN 'name' THEN max(value)
+           ELSE min(value)
+       END AS fused_value
+FROM long
+GROUP BY cluster_id, attribute
+"""
+
+    sql["similarity_graph_links"] = """
+WITH verts AS (
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id, 'cust' AS resource,
+           c_name AS name, CAST(c_custkey % 25 AS VARCHAR) AS blk FROM customer
+    UNION ALL
+    SELECT 's' || CAST(s_suppkey AS VARCHAR), 'supp', s_name,
+           CAST(s_suppkey % 25 AS VARCHAR) FROM supplier
+),
+edges AS (
+    SELECT a.id AS src, b.id AS dst,
+           CASE WHEN greatest(length(a.name), length(b.name)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.name, b.name) * 1.0
+                           / greatest(length(a.name), length(b.name)) END AS sim
+    FROM verts a JOIN verts b
+      ON a.blk = b.blk AND a.id < b.id AND a.resource <> b.resource
+    WHERE CASE WHEN greatest(length(a.name), length(b.name)) = 0 THEN 1.0
+               ELSE 1.0 - levenshtein(a.name, b.name) * 1.0
+                          / greatest(length(a.name), length(b.name)) END >= 0.3
+),
+directed AS (
+    SELECT src, dst, sim FROM edges UNION ALL SELECT dst, src, sim FROM edges
+),
+withres AS (
+    SELECT d.src, d.dst, d.sim, v.resource AS res_dst
+    FROM directed d JOIN verts v ON d.dst = v.id
+),
+best AS (
+    SELECT src, dst, sim FROM (
+        SELECT *, MAX(sim) OVER (PARTITION BY src, res_dst) AS mx FROM withres
+    ) WHERE sim = mx
+),
+strongp AS (
+    SELECT f.src, f.dst FROM best f
+    WHERE f.src < f.dst
+      AND EXISTS (SELECT 1 FROM best r WHERE r.src = f.dst AND r.dst = f.src)
+),
+best_und AS (
+    SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst FROM best
+),
+classified AS (
+    SELECT b.src, b.dst,
+           CASE WHEN s.src IS NOT NULL THEN 'strong' ELSE 'normal' END AS link_type
+    FROM best_und b LEFT JOIN strongp s ON b.src = s.src AND b.dst = s.dst
+)
+SELECT e.src, e.dst, round(e.sim, 6) AS sim,
+       coalesce(c.link_type, 'weak') AS link_type
+FROM edges e LEFT JOIN classified c ON e.src = c.src AND e.dst = c.dst
+"""
+
     # the pipeline's final table state = SQL LWW replay of the same
     # deterministically-derived WAL (see _events_as_wal): dead letters
     # excluded, delete winners dropped, 'calc' promoted to 'calculator'
@@ -1472,6 +1655,82 @@ triples AS (
 )
 SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_statements,
        min(o) AS min_o, max(o) AS max_o
+FROM triples GROUP BY p
+"""
+
+    # property-TKG model: 4 triples per window (entity →revision→ bnode,
+    # original predicate surviving on the revision node, start/end
+    # dateTimes); n_subjects pins the bnode-vs-entity subject split
+    sql["rdf_property_tkg_rollup"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+terms AS (
+    SELECT '<u/' || CAST(user_id AS VARCHAR) || '>' AS s,
+           '<p/' || event_type || '>' AS p,
+           '"' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) || '"' AS o,
+           v_start, v_end, t_start, t_end
+    FROM windows
+),
+fmt AS (
+    SELECT *,
+           '_:b' || md5(concat_ws(chr(31), s, p, o,
+                                  CAST(v_start AS VARCHAR), CAST(v_end AS VARCHAR))) AS b,
+           CASE WHEN t_start IS NULL OR t_start > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_start), '%Y-%m-%dT%H:%M:%S') END AS dt_s,
+           CASE WHEN t_end IS NULL OR t_end > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_end), '%Y-%m-%dT%H:%M:%S') END AS dt_e
+    FROM terms
+),
+triples AS (
+    SELECT s, '<http://dbpedia.org/temporal/revision>' AS p, b AS o FROM fmt
+    UNION ALL
+    SELECT b, p, o FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/start>',
+           '"' || dt_s || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' FROM fmt
+    UNION ALL
+    SELECT b, '<http://dbpedia.org/temporal/end>',
+           '"' || dt_e || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' FROM fmt
+)
+SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_subjects,
+       min(o) AS min_o, max(o) AS max_o
+FROM triples GROUP BY p
+"""
+
+    # RDF-star model: quoted triple << s p o >> as the subject of 4
+    # annotation triples; min_s pins the quoted-term formatting
+    sql["rdf_star_rollup"] = f"""
+WITH {_WINDOWS_CTE.strip()},
+terms AS (
+    SELECT '<u/' || CAST(user_id AS VARCHAR) || '>' AS s,
+           '<p/' || event_type || '>' AS p,
+           '"' || CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR) || '"' AS o,
+           v_start, v_end, t_start, t_end
+    FROM windows
+),
+fmt AS (
+    SELECT concat_ws(' ', '<<', s, p, o, '>>') AS q,
+           v_start, v_end,
+           CASE WHEN t_start IS NULL OR t_start > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_start), '%Y-%m-%dT%H:%M:%S') END AS dt_s,
+           CASE WHEN t_end IS NULL OR t_end > 253402300799 THEN '9999-12-31T23:59:59'
+                ELSE strftime(to_timestamp(t_end), '%Y-%m-%dT%H:%M:%S') END AS dt_e
+    FROM terms
+),
+triples AS (
+    SELECT q AS s, '<http://dbpedia.org/temporal/tStart>' AS p,
+           '"' || dt_s || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' AS o FROM fmt
+    UNION ALL
+    SELECT q, '<http://dbpedia.org/temporal/tEnd>',
+           '"' || dt_e || '"^^<http://www.w3.org/2001/XMLSchema#dateTime>' FROM fmt
+    UNION ALL
+    SELECT q, '<http://dbpedia.org/temporal/rStart>',
+           '"' || CAST(v_start AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#long>' FROM fmt
+    UNION ALL
+    SELECT q, '<http://dbpedia.org/temporal/rEnd>',
+           '"' || CAST(v_end AS VARCHAR) || '"^^<http://www.w3.org/2001/XMLSchema#long>' FROM fmt
+)
+SELECT p, count(*) AS n_triples, count(DISTINCT s) AS n_statements,
+       min(s) AS min_s, max(o) AS max_o
 FROM triples GROUP BY p
 """
 
