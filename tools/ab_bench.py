@@ -1,0 +1,204 @@
+"""Interleaved same-JVM A/B bench → machine-readable artifact.
+
+VERDICT r2 established the host-noise ground rule (BENCH/BASELINE.md
+variance appendix): on this shared sandbox only *interleaved*
+comparisons inside one JVM/process are trustworthy — sequential
+cross-process numbers swing several-fold with neighbor load. Round 2's
+trigger-posture A/B (one-batch vs per-file cadence, 2.2×) was recorded
+only as prose; this tool persists such comparisons as JSON artifacts
+next to BENCH/BASELINE.md so cross-round perf claims are auditable.
+
+Protocol: warmup rep of each arm, then ``reps`` interleaved cells
+(A, B, A, B, ...), best-of per arm as the headline (minimum is the
+noise-robust statistic on a contended host), all cells recorded.
+
+Usage:
+    python tools/ab_bench.py trigger_posture [--events 1000000] [--reps 3]
+    python tools/ab_bench.py lsh_mass_dup    [--copies 20000] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "BENCH")
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_ab(name: str, spark, arms: dict, reps: int, meta: dict) -> dict:
+    """arms: {label: callable() -> None}. Interleave reps after one
+    unrecorded warmup per arm; write BENCH/ab_<name>.json."""
+    from bench import cpu_reference_miters_fixedwork
+
+    labels = list(arms)
+    for lbl in labels:  # warmup: JIT/codegen/session costs paid outside cells
+        arms[lbl]()
+    cells: list[dict] = []
+    for rep in range(reps):
+        for lbl in labels:
+            t0 = time.perf_counter()
+            arms[lbl]()
+            cells.append({"rep": rep, "arm": lbl, "sec": round(time.perf_counter() - t0, 3)})
+    best = {lbl: min(c["sec"] for c in cells if c["arm"] == lbl) for lbl in labels}
+    a, b = labels
+    artifact = {
+        "name": name,
+        "protocol": "interleaved same-JVM, 1 warmup/arm, best-of-%d" % reps,
+        "arms": labels,
+        "best_sec": best,
+        "ratio_b_over_a": round(best[a] / best[b], 3) if best[b] else None,
+        "cells": cells,
+        "cpu_ref_miters_fixedwork": round(cpu_reference_miters_fixedwork(), 1),
+        **meta,
+    }
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"ab_{name}.json")
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({k: v for k, v in artifact.items() if k != "cells"}))
+    print(f"wrote {os.path.normpath(path)}")
+    return artifact
+
+
+def ab_trigger_posture(spark, events: int, reps: int) -> None:
+    """bench.py's one-big-micro-batch posture vs the default per-file
+    cadence, on the identical WAL — the r2 prose claim as an artifact."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline, WalConfig, write_wal_files
+
+    base = tempfile.mkdtemp(prefix="ab-trigger-")
+    cpus = spark.sparkContext.defaultParallelism
+    n_files = max(8, cpus // 2)
+    wal = write_wal_files(
+        spark, WalConfig(n_events=events, n_convs=max(events // 50, 100), seed=42),
+        os.path.join(base, "wal"), n_files=n_files,
+    )
+    seq = [0]
+
+    def run(max_files: int) -> None:
+        seq[0] += 1
+        root = os.path.join(base, f"t{seq[0]}")
+        p = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal], table_root=os.path.join(root, "tbl"),
+                checkpoint_dir=os.path.join(root, "ckpt"), buckets=cpus,
+                merge_mode="mor", max_files_per_trigger=max_files,
+            ),
+        )
+        p.run_available()
+        shutil.rmtree(root, ignore_errors=True)
+
+    try:
+        run_ab(
+            "trigger_posture", spark,
+            {"per_file_cadence": lambda: run(1), "one_batch": lambda: run(n_files)},
+            reps,
+            {"events": events, "wal_files": n_files,
+             "note": "MoR pipeline, identical WAL; one_batch = maxFilesPerTrigger=n_files "
+                     "(bench.py headline posture), per_file_cadence = maxFilesPerTrigger=1"},
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def ab_lsh_mass_dup(spark, copies: int, reps: int) -> None:
+    """LSH candidate generation WITH vs WITHOUT the r3 fingerprint
+    pre-collapse, on a mass-duplicate corpus (the degenerate-bucket
+    workload VERDICT r2 named as the one scale-killer)."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions.dedup import (
+        MINHASH_BANDS,
+        MINHASH_K,
+        _bucket_pairs,
+        _minhash_band_buckets,
+        clear_dedup_caches,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    n_distinct = 50
+    # each variant is 20 md5-derived words — variants share (almost) no
+    # shingles, so the only skew is the in-group mass duplication. (A
+    # shared-prefix fixture makes every variant a near-dup of every
+    # other, which turns the TRUE output quadratic in the corpus — that
+    # measures output size, not the collapse.)
+    variant = (F.col("id") % n_distinct).cast("string")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(20)),
+        lambda j: F.md5(F.concat(variant, F.lit("_"), j.cast("string"))),
+    )
+    docs = (
+        spark.range(copies)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+        .repartition(16)
+    )
+    docs.cache().count()
+
+    def run_collapsed() -> None:
+        # production path: fingerprint pre-collapse, cap disabled so
+        # both arms generate the identical full pair set
+        pairs = minhash_lsh_candidates(docs, "doc_id", "text", max_bucket_size=None)
+        materialize(pairs.agg(F.count("*").alias("n")))
+
+    def run_uncollapsed() -> None:
+        # the pre-r3 path, spelled via the same internals: every copy
+        # shingles/signs individually and lands in the band buckets,
+        # so each bucket's member array holds the whole dup cluster
+        clear_dedup_caches()
+        sig = minhash_signatures(docs, "doc_id", "text")
+        buckets = _minhash_band_buckets(sig, "doc_id", MINHASH_K, MINHASH_BANDS)
+        pairs = _bucket_pairs(buckets, "doc_id", None, None)
+        materialize(pairs.agg(F.count("*").alias("n")))
+
+    try:
+        run_ab(
+            "lsh_mass_dup", spark,
+            {"uncollapsed": run_uncollapsed, "collapsed": run_collapsed},
+            reps,
+            {"docs": copies, "distinct_texts": n_distinct,
+             "note": "LSH candidate generation on a corpus of `docs` documents with only "
+                     "`distinct_texts` distinct contents (mass-duplicate skew). collapsed = "
+                     "r3 fingerprint pre-collapse (reps shingle once; in-group pairs from a "
+                     "distributed fingerprint self-join); uncollapsed = pre-r3 shape (every "
+                     "copy in every band bucket, single-task array explosion per bucket). "
+                     "Output pair sets are equal (tests/test_dedup_skew.py); cap disabled "
+                     "so both arms do full work"},
+        )
+    finally:
+        docs.unpersist()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup"])
+    ap.add_argument("--events", type=int, default=1_000_000)
+    ap.add_argument("--copies", type=int, default=20_000)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from odibel_spark import get_spark
+
+    spark = get_spark("ab-bench", cpus=args.cpus, shuffle_partitions=args.cpus * 2)
+    if args.which == "trigger_posture":
+        ab_trigger_posture(spark, args.events, args.reps)
+    else:
+        ab_lsh_mass_dup(spark, args.copies, args.reps)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
