@@ -126,6 +126,53 @@ def test_lsh_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
         df.explain(mode="cost")
 
 
+def test_similarity_edges_blocked_join_never_cartesian(spark):
+    """Similarity-graph candidate generation must be an equi-join on
+    the blocking key — a planner fallback to a nested-loop/cartesian
+    product is the O(n²) global pairing the blocked design exists to
+    prevent, invisible at fixture scale and fatal at 100 TB."""
+    from odibel_spark.operators.similarity_graph import (
+        PropertyComparator,
+        build_similarity_edges,
+    )
+
+    vertices = spark.createDataFrame(
+        [("v1", "dsA", {"name": "acme corp", "blk": "ac"}),
+         ("v2", "dsB", {"name": "acme corporation", "blk": "ac"})],
+        "id string, resource string, props map<string,string>",
+    )
+    p = plan(
+        build_similarity_edges(
+            vertices,
+            [PropertyComparator("name", "levenshtein")],
+            block_on="blk",
+        )
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p, "blocking must still be a join, not a filter rewrite"
+
+
+def test_fingerprint_collapse_partial_agg(spark):
+    """The mass-duplicate guard only works if the fingerprint collapse
+    combines map-side: a partial-agg groupBy ships ~one row per DISTINCT
+    document through the exchange, while a window (the pre-r3 shape)
+    ships every duplicate's full text. Pinned: partial aggregation
+    present, no Window operator."""
+    from odibel_spark.functions.dedup import _fingerprint_collapse, document_fingerprint
+
+    docs = spark.createDataFrame([(1, "same text"), (2, "same text")], "doc_id long, text string")
+    members, rep_docs = _fingerprint_collapse(
+        docs, "doc_id", "text", document_fingerprint(F.col("text"))
+    )
+    # rep_docs exposes the groupBy plan directly (members wraps it in a
+    # scoped cache, whose formatted plan elides the cached subtree)
+    p = plan(rep_docs)
+    # any_value compiles to first() in the physical plan
+    assert "partial_min" in p and ("partial_first" in p or "partial_any_value" in p)
+    for df in (members, rep_docs):
+        assert "Window" not in plan(df), "collapse regressed to a full-row window shuffle"
+
+
 def test_sampler_related_expansion_broadcasts_seeds(spark):
     """Entity-sampler neighbor expansion must broadcast the (tiny) seed
     set into the adjacency scan — never shuffle-deduplicate the full
