@@ -298,6 +298,26 @@ def q_dedup_minhash_verified(spark, sf_dir):
     return D.minhash_near_duplicates(d, "doc_id", "text", n=2, threshold=0.08, k=8, bands=4)
 
 
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Per-ingest-batch dedup: documents with doc_id % 5 == 0 arrive as
+    a new batch and match against an LSH index built over the other
+    80% — the O(batch + matches) posture that replaces corpus-wide LSH
+    re-runs at ingest time (functions/dedup_incremental.py). Estimated
+    Jaccard is the MinHash component-agreement estimator; the corpus
+    text is never touched at match time."""
+    from odibel_spark.functions.dedup_incremental import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    idx = minhash_index(d.filter(F.col("doc_id") % 5 != 0), "doc_id", "text", n=2, k=8, bands=4)
+    return incremental_near_duplicates(
+        d.filter(F.col("doc_id") % 5 == 0), idx, "doc_id", "text",
+        n=2, k=8, bands=4, threshold=0.375,
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d, "doc_id", "text", bits=16)
@@ -867,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": q_dedup_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_verified": q_dedup_minhash_verified,
+        "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -961,6 +982,46 @@ WITH sig AS ({_minhash_sql(n, k)}),
 buckets AS ({buckets})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def _incremental_lsh_sql(n: int, k: int, bands: int, threshold: float) -> str:
+    """Oracle for incremental dedup. The Spark path collapses the new
+    batch to fingerprint representatives and re-expands at the end;
+    identical texts have identical signatures, hence identical band
+    buckets, so computing candidates directly per new document is
+    value-equivalent — the oracle does that, mapping the corpus side
+    to its fingerprint representative (min doc_id) exactly as the
+    index does."""
+    rows = k // bands
+    band_rows = []
+    for b in range(bands):
+        cols = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
+        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    buckets = " UNION ALL ".join(band_rows)
+    eq = " + ".join(f"(CASE WHEN a.mh{i} = c.mh{i} THEN 1 ELSE 0 END)" for i in range(k))
+    return f"""
+WITH sig AS ({_minhash_sql(n, k)}),
+fpt AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+crep AS (
+    SELECT fp, min(doc_id) AS corpus_id, count(*) AS corpus_dup_count
+    FROM fpt WHERE doc_id % 5 <> 0 GROUP BY fp
+),
+buckets AS ({buckets}),
+cand AS (
+    SELECT DISTINCT nb.doc_id AS new_id, cr.corpus_id, cr.corpus_dup_count
+    FROM buckets nb
+    JOIN buckets cb ON nb.band = cb.band AND nb.bkey = cb.bkey
+    JOIN crep cr ON cb.doc_id = cr.corpus_id
+    WHERE nb.doc_id % 5 = 0 AND nb.doc_id <> cr.corpus_id
+)
+SELECT cand.new_id, cand.corpus_id,
+       ({eq}) / {float(k)} AS est_jaccard,
+       cand.corpus_dup_count
+FROM cand
+JOIN sig a ON a.doc_id = cand.new_id
+JOIN sig c ON c.doc_id = cand.corpus_id
+WHERE ({eq}) / {float(k)} >= {threshold}
 """
 
 
@@ -1233,6 +1294,7 @@ FROM fp GROUP BY fp HAVING count(*) > 1
     sql["dedup_minhash_signatures"] = _minhash_sql(2, 8)
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
     sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
+    sql["dedup_incremental_lsh"] = _incremental_lsh_sql(2, 8, 4, 0.375)
     sql["dedup_simhash"] = _simhash_sql(16)
 
     sql["dedup_embedding_cosine"] = """

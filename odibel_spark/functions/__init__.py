@@ -13,6 +13,10 @@ from odibel_spark.functions.dedup import (  # noqa: F401
     simhash,
     word_shingles,
 )
+from odibel_spark.functions.dedup_incremental import (  # noqa: F401
+    incremental_near_duplicates,
+    minhash_index,
+)
 from odibel_spark.functions.similarity import (  # noqa: F401
     cosine_top_k,
     ivf_centroids,

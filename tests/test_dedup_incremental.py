@@ -1,0 +1,123 @@
+"""Incremental LSH dedup: corpus index build + new-batch lookup.
+
+Covers the semantics the batch suite can't: exact copies of indexed
+documents score 1.0 with the group's member count, novel documents
+produce no rows, the estimator equals the signature component
+agreement computed independently, mass-duplicate new batches expand
+per member, and the index survives a parquet round trip (the
+persisted-table deployment shape).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from odibel_spark.functions.dedup import minhash_signatures
+from odibel_spark.functions.dedup_incremental import (
+    incremental_near_duplicates,
+    minhash_index,
+)
+
+PARAMS = dict(n=2, k=8, bands=4)
+
+CORPUS_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3, "completely different content about distributed stream processing engines"),
+    (4, "yet another unrelated document regarding spark catalyst optimizer rules"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_index(spark):
+    corpus = spark.createDataFrame(CORPUS_ROWS, "doc_id long, text string")
+    return minhash_index(corpus, **PARAMS).cache()
+
+
+def test_exact_copy_scores_one_and_novel_absent(spark, corpus_index):
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (101, "a totally novel document with no counterpart whatsoever in the corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_near_duplicates(new, corpus_index, threshold=0.5, **PARAMS).collect()
+    assert {r.new_id for r in out} == {100}
+    (m,) = out
+    # the duplicate group (docs 1, 2) collapsed to representative 1 with 2 members
+    assert m.corpus_id == 1 and m.est_jaccard == 1.0 and m.corpus_dup_count == 2
+
+
+def test_estimator_equals_signature_component_agreement(spark, corpus_index):
+    near = "the quick brown fox jumps over the lazy dog near the ocean shore tonight"
+    new = spark.createDataFrame([(200, near)], "doc_id long, text string")
+    out = incremental_near_duplicates(new, corpus_index, threshold=0.0, **PARAMS).collect()
+    matches = {r.corpus_id: r.est_jaccard for r in out if r.new_id == 200}
+    assert 1 in matches and 0.0 < matches[1] < 1.0
+
+    # recompute the estimator independently from raw signatures
+    both = spark.createDataFrame(
+        [CORPUS_ROWS[0], (200, near)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: [r[f"mh{i}"] for i in range(8)] for r in
+            minhash_signatures(both, "doc_id", "text", n=2, k=8).collect()}
+    expected = sum(a == b for a, b in zip(sigs[1], sigs[200])) / 8.0
+    assert matches[1] == expected
+
+
+def test_mass_duplicate_new_batch_expands_per_member(spark, corpus_index):
+    copies = 300
+    new = (
+        spark.range(1000, 1000 + copies)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit(CORPUS_ROWS[0][1]).alias("text"),
+        )
+    )
+    out = incremental_near_duplicates(new, corpus_index, threshold=0.9, **PARAMS)
+    rows = out.collect()
+    # every copy gets its own verdict against the one corpus representative
+    assert len(rows) == copies
+    assert {r.new_id for r in rows} == set(range(1000, 1000 + copies))
+    assert all(r.corpus_id == 1 and r.est_jaccard == 1.0 for r in rows)
+
+
+def test_index_maintained_incrementally_across_batches(spark, tmpdir_path):
+    """The deployment loop: each ingest batch is matched against the
+    index, then its own index rows are APPENDED — the index is never
+    rebuilt. A later batch must match documents that arrived in an
+    earlier appended batch. Cross-batch exact duplicates appear as
+    distinct representatives (one per contributing batch), each
+    matching at 1.0 — duplicate-group counts are per batch."""
+    path = os.path.join(tmpdir_path, "rolling_idx")
+    batch1 = spark.createDataFrame(CORPUS_ROWS[:2], "doc_id long, text string")
+    minhash_index(batch1, **PARAMS).write.partitionBy("band").parquet(path)
+
+    novel = "a document that first appears in batch two about iceberg manifests"
+    batch2 = spark.createDataFrame([(50, novel)], "doc_id long, text string")
+    assert incremental_near_duplicates(
+        batch2, spark.read.parquet(path), threshold=0.5, **PARAMS
+    ).count() == 0
+    minhash_index(batch2, **PARAMS).write.mode("append").partitionBy("band").parquet(path)
+
+    batch3 = spark.createDataFrame([(60, novel)], "doc_id long, text string")
+    out = incremental_near_duplicates(
+        batch3, spark.read.parquet(path), threshold=0.5, **PARAMS
+    ).collect()
+    assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in out] == [(60, 50, 1.0)]
+
+
+def test_index_survives_parquet_round_trip(spark, corpus_index, tmpdir_path):
+    path = os.path.join(tmpdir_path, "lsh_index")
+    corpus_index.write.mode("overwrite").partitionBy("band").parquet(path)
+    reloaded = spark.read.parquet(path)
+    new = spark.createDataFrame(
+        [(100, CORPUS_ROWS[0][1])], "doc_id long, text string"
+    )
+    live = incremental_near_duplicates(new, corpus_index, threshold=0.5, **PARAMS).collect()
+    persisted = incremental_near_duplicates(new, reloaded, threshold=0.5, **PARAMS).collect()
+    assert sorted(map(tuple, live)) == sorted(map(tuple, persisted))
