@@ -1013,7 +1013,7 @@ cand AS (
     FROM buckets nb
     JOIN buckets cb ON nb.band = cb.band AND nb.bkey = cb.bkey
     JOIN crep cr ON cb.doc_id = cr.corpus_id
-    WHERE nb.doc_id % 5 = 0 AND nb.doc_id <> cr.corpus_id
+    WHERE nb.doc_id % 5 = 0
 )
 SELECT cand.new_id, cand.corpus_id,
        ({eq}) / {float(k)} AS est_jaccard,

@@ -230,16 +230,19 @@ def fuse_clusters(
     if default_rule not in FUSION_RULE_TYPES:
         raise ValueError(f"unknown default rule {default_rule!r}")
     v = F.col(value_col)
+    # max/min order NUMERICALLY when the value parses as a number and
+    # lexicographically otherwise (numeric-first struct ordering): a
+    # population attribute with values "9" and "10" must fuse to 10,
+    # not the lexicographic "9". try_cast: ANSI mode is on, and rules
+    # share a table with non-numeric attributes.
+    order_key = F.struct(v.try_cast("double").alias("n"), v.cast("string").alias("s"))
     agg = entities.groupBy(cluster_col, attr_col).agg(
-        F.max(v.cast("string")).alias("_max"),
-        F.min(v.cast("string")).alias("_min"),
+        F.max_by(v.cast("string"), order_key).alias("_max"),
+        F.min_by(v.cast("string"), order_key).alias("_min"),
         F.concat_ws(",", F.array_sort(F.collect_set(v.cast("string")))).alias("_concat"),
-        # try_cast: ANSI mode is on, and "average" may share a table
-        # with non-numeric attributes that other rules handle
         F.avg(v.try_cast("double")).cast("string").alias("_average"),
         F.min(v.cast("string")).alias("_first"),
     )
-    picked = F.lit(None).cast("string")
     chain = None
     for attr, rule in rules.items():
         cond = F.col(attr_col) == attr
@@ -425,10 +428,15 @@ def matching_pair_metrics(
     p = predicted.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"), F.lit(True).alias("_pred")
     ).distinct()
-    g = gold.filter(F.col(match_col).isNotNull()).select(
-        F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"),
-        F.col(match_col).alias("_gold"),
-    ).distinct()
+    # one judgment per pair: conflicting gold labels (the same pair
+    # annotated both True and False in a merged mapping set) collapse
+    # to match=True — otherwise the pair joins twice and inflates
+    # n_pred, under-reporting precision for a correct prediction
+    g = (
+        gold.filter(F.col(match_col).isNotNull())
+        .groupBy(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
+        .agg(F.max(F.col(match_col).cast("boolean")).alias("_gold"))
+    )
     j = p.join(g, ["_s", "_t"], "full_outer")
     row = j.agg(
         F.sum((F.col("_pred").isNotNull() & (F.col("_gold") == True)).cast("long")).alias("tp"),  # noqa: E712

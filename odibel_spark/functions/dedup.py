@@ -187,7 +187,7 @@ def minhash_signatures(
 
 
 def _fingerprint_collapse(
-    docs: DataFrame, id_col: str, text_col: str, fingerprint: F.Column
+    docs: DataFrame, id_col: str, text_col: str, fingerprint: F.Column, cache: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact duplicates into representatives before any
     pairwise stage — THE skew guard for mass-duplicate corpora
@@ -214,7 +214,12 @@ def _fingerprint_collapse(
     combines map-side (``any_value`` keeps one content per fingerprint
     per task), so shuffle volume collapses toward the number of
     DISTINCT documents; membership then joins back on two narrow
-    columns (id, _fp) only."""
+    columns (id, _fp) only.
+
+    ``cache=False`` skips registering the members table in the
+    session-scoped cache registry — for callers that consume it once
+    (the incremental index/lookup path), where registering would only
+    hand a cache to the NEXT pipeline assembly's clear."""
     withfp = docs.select(F.col(id_col), F.col(text_col)).withColumn("_fp", fingerprint)
     groups = withfp.groupBy("_fp").agg(
         F.min(id_col).alias("_rep"),
@@ -222,9 +227,9 @@ def _fingerprint_collapse(
         F.any_value(text_col).alias(text_col),
     )
     rep_docs = groups.select(F.col("_rep").alias(id_col), text_col)
-    members = _cache_scoped(
-        withfp.select(id_col, "_fp").join(groups.select("_fp", "_rep", "_n"), "_fp")
-    )
+    members = withfp.select(id_col, "_fp").join(groups.select("_fp", "_rep", "_n"), "_fp")
+    if cache:
+        members = _cache_scoped(members)
     return members, rep_docs
 
 
@@ -536,7 +541,13 @@ def embedding_lsh_candidates(
     if dim is None:  # fallback probe — an eager job; prefer passing dim
         dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     clear_dedup_caches()
-    vec_fp = F.md5(F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string"))))
+    # null elements map to a sentinel: concat_ws SKIPS nulls, which
+    # would fingerprint [1.0, null, 2.0] and [1.0, 2.0] identically
+    vec_fp = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.col(vec_col), lambda x: F.coalesce(x.cast("string"), F.lit("∅")))
+        )
+    )
     members, rep_vecs = _fingerprint_collapse(emb, id_col, vec_col, vec_fp)
     planes = random_hyperplanes(dim, n_planes, seed)
     sigs = embedding_lsh_signatures(rep_vecs, id_col, vec_col, planes)

@@ -52,7 +52,6 @@ from odibel_spark.functions.dedup import (
     MINHASH_K,
     _fingerprint_collapse,
     _minhash_band_buckets,
-    clear_dedup_caches,
     minhash_signatures,
 )
 from odibel_spark.functions.text import document_fingerprint
@@ -72,10 +71,13 @@ def minhash_index(
     ``n_members`` is the representative's exact-duplicate group size —
     matches against the rep stand for that many corpus documents.
     The (n, k, bands) triple is part of the index's identity: lookups
-    must use the same values (mixed parameters silently miss)."""
-    clear_dedup_caches()
+    must use the same values (mixed parameters silently miss).
+
+    Neither this nor the lookup registers session-scoped caches (each
+    intermediate is consumed once), so assembling them never clears a
+    live batch pipeline's shared shingle cache and vice versa."""
     members, rep_docs = _fingerprint_collapse(
-        docs, id_col, text_col, document_fingerprint(F.col(text_col))
+        docs, id_col, text_col, document_fingerprint(F.col(text_col)), cache=False
     )
     sig = minhash_signatures(rep_docs, id_col, text_col, n, k)
     buckets = _minhash_band_buckets(sig, id_col, k, bands)
@@ -109,17 +111,22 @@ def incremental_near_duplicates(
     Plan shape: new-batch collapse (one partial-agg shuffle) →
     signatures (one shuffle) → bucket equi-join against the index →
     distinct candidate pairs → signature comparison restricted to
-    candidates → threshold → re-expand new-side duplicate groups."""
-    clear_dedup_caches()
+    candidates → threshold → re-expand new-side duplicate groups.
+
+    Identity is CONTENT, not id: a new document whose id collides with
+    an indexed id still matches (and a re-ingested document matches
+    itself at 1.0) — if the batch may overlap the index, anti-join on
+    the id upstream; silently suppressing same-id pairs here would
+    also hide the true near-dup where two DIFFERENT documents share an
+    id across batches."""
     members, rep_docs = _fingerprint_collapse(
-        new_docs, id_col, text_col, document_fingerprint(F.col(text_col))
+        new_docs, id_col, text_col, document_fingerprint(F.col(text_col)), cache=False
     )
     sig = minhash_signatures(rep_docs, id_col, text_col, n, k)
     buckets = _minhash_band_buckets(sig, id_col, k, bands)
     cand = (
         buckets.withColumnRenamed(id_col, "_nrep")
         .join(index.select(F.col(id_col).alias("corpus_id"), "band", "bkey"), ["band", "bkey"])
-        .filter(F.col("_nrep") != F.col("corpus_id"))
         .select("_nrep", "corpus_id")
         .distinct()
     )

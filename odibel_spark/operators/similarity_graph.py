@@ -215,15 +215,19 @@ def filter_similarity_links(
     id_col: str = "id",
     resource_col: str = "resource",
 ) -> DataFrame:
-    """Keep only the requested link types (reference filter_links
-    ``types`` parameter, graph_construction.py:19 — default keeps
-    normal+strong, strong-only is the precision setting). Weak links
-    never survive, mirroring the reference's unconditional removal."""
+    """Keep the requested link types (reference filter_links ``types``
+    parameter, graph_construction.py:19 — default keeps normal+strong,
+    strong-only is the precision setting). Reference parity details:
+    strong edges are kept UNCONDITIONALLY (graph_construction.py:73-77
+    adds reciprocal-best edges outside the ``types`` check; only the
+    one-directional branch consults it), and weak links never survive,
+    mirroring the unconditional removal."""
     bad = set(types) - set(LINK_TYPES)
     if bad:
         raise ValueError(f"unknown link types {sorted(bad)}; valid: {LINK_TYPES}")
     classified = classify_links(edges, resources, id_col, resource_col)
-    return classified.filter(F.col("link_type").isin(list(types)))
+    keep = set(types) | {"strong"}
+    return classified.filter(F.col("link_type").isin(sorted(keep)))
 
 
 def similarity_clusters(

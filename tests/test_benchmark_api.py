@@ -141,6 +141,22 @@ def test_fuse_clusters_rules_and_quality(spark):
     with pytest.raises(ValueError, match="unknown fusion rule"):
         fuse_clusters(entities, {"pop": "median"})
 
+    # max/min order numerically when values parse as numbers ("100" vs
+    # "300" vs "1000": lexicographic max would be "300") and fall back
+    # to lexicographic for non-numeric attributes
+    numeric = spark.createDataFrame(
+        [("c1", "e1", "pop", "100"), ("c1", "e2", "pop", "300"),
+         ("c1", "e3", "pop", "1000"),
+         ("c1", "e1", "name", "Leipzig"), ("c1", "e2", "name", "halle")],
+        "cluster_id string, entity_id string, attribute string, value string",
+    )
+    mm = fuse_clusters(numeric, {"pop": "max", "name": "max"})
+    got = {(r.cluster_id, r.attribute): r.fused_value for r in mm.collect()}
+    assert got[("c1", "pop")] == "1000"
+    assert got[("c1", "name")] == "halle"  # lexicographic for strings
+    mn = fuse_clusters(numeric, {"pop": "min"})
+    assert {r.fused_value for r in mn.filter("attribute = 'pop'").collect()} == {"100"}
+
     gold = spark.createDataFrame(
         [("c1", "pop", "200.0"), ("c1", "name", "Leipzig"),
          ("c2", "pop", "50.0"), ("c2", "name", "Halle")],
@@ -194,3 +210,18 @@ def test_matching_metrics_reference_semantics(spark):
     assert r["precision"] == pytest.approx(1 / 3)
     assert r["recall"] == pytest.approx(0.5)
     assert r["f1"] == pytest.approx(2 * (1 / 3) * 0.5 / (1 / 3 + 0.5))
+
+    # conflicting gold labels for ONE pair collapse to a single
+    # judgment (True wins) — without the collapse the pair joins twice
+    # and a lone correct prediction reports precision 0.5
+    conflicted = spark.createDataFrame(
+        [("a.name", "b.label", True), ("a.name", "b.label", False)],
+        "source_attribute string, target_attribute string, is_match boolean",
+    )
+    one = spark.createDataFrame(
+        [("a.name", "b.label")],
+        "source_attribute string, target_attribute string",
+    )
+    c = matching_pair_metrics(one, conflicted)
+    assert c["predicted_matches"] == 1 and c["true_positives"] == 1
+    assert c["precision"] == pytest.approx(1.0) and c["recall"] == pytest.approx(1.0)

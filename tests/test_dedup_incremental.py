@@ -86,6 +86,17 @@ def test_mass_duplicate_new_batch_expands_per_member(spark, corpus_index):
     assert all(r.corpus_id == 1 and r.est_jaccard == 1.0 for r in rows)
 
 
+def test_identity_is_content_not_id(spark, corpus_index):
+    """A new document whose id collides with an indexed id still
+    matches (re-ingested doc 1 matches itself at 1.0): suppressing
+    same-id pairs would also hide a TRUE near-dup where different
+    documents share an id across batches. Callers replaying overlap
+    anti-join on id upstream."""
+    new = spark.createDataFrame([(1, CORPUS_ROWS[0][1])], "doc_id long, text string")
+    out = incremental_near_duplicates(new, corpus_index, threshold=0.5, **PARAMS).collect()
+    assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in out] == [(1, 1, 1.0)]
+
+
 def test_index_maintained_incrementally_across_batches(spark, tmpdir_path):
     """The deployment loop: each ingest batch is matched against the
     index, then its own index rows are APPENDED — the index is never

@@ -325,6 +325,15 @@ def test_similarity_graph_end_to_end(spark):
         {"a1", "a2", "w1", "w3"}, {"b1", "w2"}
     ]
 
+    # reference parity: strong edges survive even when the caller asks
+    # for normal only (graph_construction.py:73-77 adds reciprocal-best
+    # edges unconditionally; only the one-directional branch consults
+    # the types parameter)
+    from odibel_spark.operators.similarity_graph import filter_similarity_links
+
+    normal_only = filter_similarity_links(edges, vertices, types=("normal",))
+    assert {r.link_type for r in normal_only.collect()} == {"strong", "normal"}
+
     # min_sim prunes before classification; exact+levenshtein kinds run
     few = build_similarity_edges(vertices, comps, block_on="blk", min_sim=0.5)
     assert {(r.src, r.dst) for r in few.collect()} == {("a1", "w1"), ("b1", "w2")}

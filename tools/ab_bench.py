@@ -57,7 +57,8 @@ def run_ab(name: str, spark, arms: dict, reps: int, meta: dict) -> dict:
         "protocol": "interleaved same-JVM, 1 warmup/arm, best-of-%d" % reps,
         "arms": labels,
         "best_sec": best,
-        "ratio_b_over_a": round(best[a] / best[b], 3) if best[b] else None,
+        # how many times faster arm b's best is than arm a's best
+        "speedup_b_vs_a": round(best[a] / best[b], 3) if best[b] else None,
         "cells": cells,
         "cpu_ref_miters_fixedwork": round(cpu_reference_miters_fixedwork(), 1),
         **meta,
