@@ -298,6 +298,20 @@ def q_dedup_minhash_verified(spark, sf_dir):
     return D.minhash_near_duplicates(d, "doc_id", "text", n=2, threshold=0.08, k=8, bands=4)
 
 
+def q_text_decontamination(spark, sf_dir):
+    """Eval-set decontamination: every 50th document plays the held-out
+    benchmark; corpus documents sharing >= 3 distinct 3-gram shingles
+    with a benchmark document are flagged with the containment ratio.
+    The benchmark shingle table is broadcast, so the corpus side is
+    matched at scan speed (functions/dedup.py::benchmark_contamination)."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return D.benchmark_contamination(corpus, bench, n=3, min_shared=3)
+
+
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Per-ingest-batch dedup: documents with doc_id % 5 == 0 arrive as
     a new batch and match against an LSH index built over the other
@@ -888,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
+        "text_decontamination": q_text_decontamination,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1295,6 +1310,22 @@ FROM fp GROUP BY fp HAVING count(*) > 1
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
     sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
     sql["dedup_incremental_lsh"] = _incremental_lsh_sql(2, 8, 4, 0.375)
+
+    sql["text_decontamination"] = f"""
+WITH {_shingles_cte(3)},
+d AS (SELECT * FROM shingles WHERE doc_id % 50 <> 0),
+b AS (SELECT doc_id AS bench_id, shingle FROM shingles WHERE doc_id % 50 = 0),
+sizes AS (SELECT doc_id, count(*) AS doc_shingles FROM d GROUP BY doc_id),
+shared AS (
+    SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+    FROM d JOIN b ON d.shingle = b.shingle
+    GROUP BY d.doc_id, b.bench_id
+    HAVING count(*) >= 3
+)
+SELECT shared.doc_id, shared.bench_id, shared.n_shared, sizes.doc_shingles,
+       round(shared.n_shared / sizes.doc_shingles, 6) AS overlap_ratio
+FROM shared JOIN sizes ON sizes.doc_id = shared.doc_id
+"""
     sql["dedup_simhash"] = _simhash_sql(16)
 
     sql["dedup_embedding_cosine"] = """

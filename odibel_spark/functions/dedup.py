@@ -437,6 +437,59 @@ def minhash_near_duplicates(
     return _expand_cross(rep_verified, members, id_col, carry=("jaccard",)).unionByName(within)
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    doc_id: str = "doc_id",
+    doc_text: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Eval-set decontamination: corpus documents sharing ≥
+    ``min_shared`` distinct word n-grams with a benchmark document —
+    the pretraining-hygiene step that removes test-set leakage before
+    training.
+
+    Output: (doc_id, bench_id, n_shared, doc_shingles, overlap_ratio)
+    — one row per contaminated (document, benchmark-doc) pair, where
+    ``overlap_ratio`` = shared / document shingles (containment in the
+    document, the decontamination-relevant direction: a short eval
+    question fully contained in a long document is contamination even
+    though symmetric Jaccard is tiny).
+
+    Scale posture: the benchmark side is small by nature (eval suites
+    are thousands of documents, the corpus is the 100 TB side), so its
+    shingle table is BROADCAST — the corpus is matched at scan speed
+    with no shuffle of corpus shingles; the only aggregation is over
+    matching (doc, bench) pairs, which is contamination-sized, not
+    corpus-sized. ``docs`` is scanned twice (shingle sizes + matches);
+    at 100 TB, pre-compute sizes once if composing with other text
+    passes."""
+    d_sh = word_shingles(docs, doc_id, doc_text, n)
+    b_sh = F.broadcast(
+        word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")
+    )
+    sizes = d_sh.groupBy(doc_id).agg(F.count("*").alias("doc_shingles"))
+    shared = (
+        d_sh.join(b_sh, "shingle")
+        .groupBy(doc_id, "_bid")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return (
+        shared.join(sizes, doc_id)
+        .select(
+            doc_id,
+            F.col("_bid").alias(bench_id),
+            "n_shared",
+            "doc_shingles",
+            F.round(F.col("n_shared") / F.col("doc_shingles"), 6).alias("overlap_ratio"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """Per-document SimHash sketch: sign-sum of token-hash bits.
     Output (id, simhash long). Hamming distance between sketches
