@@ -231,14 +231,22 @@ def fuse_clusters(
         raise ValueError(f"unknown default rule {default_rule!r}")
     v = F.col(value_col)
     # max/min order NUMERICALLY when the value parses as a number and
-    # lexicographically otherwise (numeric-first struct ordering): a
-    # population attribute with values "9" and "10" must fuse to 10,
-    # not the lexicographic "9". try_cast: ANSI mode is on, and rules
-    # share a table with non-numeric attributes.
-    order_key = F.struct(v.try_cast("double").alias("n"), v.cast("string").alias("s"))
+    # lexicographically otherwise: a population attribute with values
+    # "9" and "10" must fuse to 10, not the lexicographic "9".
+    # Direction-consistent: non-numeric values rank below every number
+    # in BOTH directions (-inf for max, +inf for min), so one dirty
+    # "N/A" in a numeric attribute never wins either rule, while
+    # all-string attributes tie on the sentinel and fall back to the
+    # lexicographic second key. Null VALUES produce a null order key,
+    # which max_by/min_by skip (matching the old F.min/F.max). try_cast:
+    # ANSI mode is on, and rules share a table with non-numeric attrs.
+    num = v.try_cast("double")
+    s = v.cast("string")
+    max_key = F.when(v.isNotNull(), F.struct(F.coalesce(num, F.lit(float("-inf"))).alias("n"), s.alias("s")))
+    min_key = F.when(v.isNotNull(), F.struct(F.coalesce(num, F.lit(float("inf"))).alias("n"), s.alias("s")))
     agg = entities.groupBy(cluster_col, attr_col).agg(
-        F.max_by(v.cast("string"), order_key).alias("_max"),
-        F.min_by(v.cast("string"), order_key).alias("_min"),
+        F.max_by(s, max_key).alias("_max"),
+        F.min_by(s, min_key).alias("_min"),
         F.concat_ws(",", F.array_sort(F.collect_set(v.cast("string")))).alias("_concat"),
         F.avg(v.try_cast("double")).cast("string").alias("_average"),
         F.min(v.cast("string")).alias("_first"),

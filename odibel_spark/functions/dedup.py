@@ -120,14 +120,21 @@ def word_shingles(
     width = _estimated_scan_partitions(docs)
     if width is not None and width < target:
         docs = docs.repartition(target, F.col(id_col))
-    toks = F.split(normalized_text(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return (
-        docs.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        docs.select(F.col(id_col), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
+
+
+def _shingle_array(text_col: F.Column, n: int) -> F.Column:
+    """Word n-gram shingle array of one document — the partition-local
+    core of :func:`word_shingles` (may contain duplicates and the empty
+    string; wrap in array_distinct + a length filter for the distinct
+    set without any shuffle)."""
+    toks = F.split(normalized_text(text_col), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def ngram_jaccard_pairs(
@@ -461,25 +468,33 @@ def benchmark_contamination(
 
     Scale posture: the benchmark side is small by nature (eval suites
     are thousands of documents, the corpus is the 100 TB side), so its
-    shingle table is BROADCAST — the corpus is matched at scan speed
-    with no shuffle of corpus shingles; the only aggregation is over
-    matching (doc, bench) pairs, which is contamination-sized, not
-    corpus-sized. ``docs`` is scanned twice (shingle sizes + matches);
-    at 100 TB, pre-compute sizes once if composing with other text
-    passes."""
-    d_sh = word_shingles(docs, doc_id, doc_text, n)
+    shingle table is BROADCAST, and the corpus side NEVER shuffles its
+    shingles: each document's distinct shingle set is built as a
+    partition-local array expression (``array_distinct`` — no
+    corpus-wide dedup exchange), its size carried alongside the explode
+    so no separate sizes aggregation scans the corpus. The only shuffle
+    is the groupBy over rows that MATCHED a benchmark shingle —
+    contamination-sized, not corpus-sized. One corpus scan total
+    (pinned by the plan assertion in tests/test_dedup_skew.py)."""
+    valid = F.filter(
+        F.array_distinct(_shingle_array(F.col(doc_text), n)),
+        lambda sh: F.length(sh) > 0,
+    )
+    d_sh = docs.select(
+        F.col(doc_id),
+        F.size(valid).alias("doc_shingles"),
+        F.explode(valid).alias("shingle"),
+    )
     b_sh = F.broadcast(
         word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")
     )
-    sizes = d_sh.groupBy(doc_id).agg(F.count("*").alias("doc_shingles"))
-    shared = (
-        d_sh.join(b_sh, "shingle")
-        .groupBy(doc_id, "_bid")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
-    )
     return (
-        shared.join(sizes, doc_id)
+        d_sh.join(b_sh, "shingle")
+        # each shingle appears once per document (array_distinct), so
+        # count(*) IS the distinct shared-shingle count
+        .groupBy(doc_id, "_bid")
+        .agg(F.count("*").alias("n_shared"), F.any_value("doc_shingles").alias("doc_shingles"))
+        .filter(F.col("n_shared") >= min_shared)
         .select(
             doc_id,
             F.col("_bid").alias(bench_id),

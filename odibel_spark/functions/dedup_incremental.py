@@ -35,7 +35,12 @@ applies to it natively.
 CDC tie-in: feed ``LakeTable.changes(since)`` upserts (or any
 ``foreachBatch`` micro-batch) as ``new_docs``, then append
 ``minhash_index(new_docs)`` rows to the index table — the index is
-maintained incrementally, never rebuilt.
+maintained incrementally, never rebuilt. Because lookup identity is
+CONTENT, not id, anti-join the batch against already-indexed ids
+first when the feed contains updates or at-least-once replays —
+otherwise an updated document reports as a near-duplicate of its own
+indexed prior version (which may even be what a cross-version dedup
+wants; it is not what a new-content filter wants).
 
 No reference counterpart (the reference's dedup surface is batch-only,
 SURVEY.md §2.12); included because the north rule's ingest scale makes

@@ -157,6 +157,18 @@ def test_fuse_clusters_rules_and_quality(spark):
     mn = fuse_clusters(numeric, {"pop": "min"})
     assert {r.fused_value for r in mn.filter("attribute = 'pop'").collect()} == {"100"}
 
+    # null values are skipped (old F.min semantics), and a dirty
+    # non-numeric entry in a numeric attribute loses BOTH rules
+    dirty = spark.createDataFrame(
+        [("c1", "e1", "pop", "100"), ("c1", "e2", "pop", None),
+         ("c1", "e3", "pop", "N/A"), ("c1", "e4", "pop", "5")],
+        "cluster_id string, entity_id string, attribute string, value string",
+    )
+    got = {r.attribute: r.fused_value for r in fuse_clusters(dirty, {"pop": "min"}).collect()}
+    assert got["pop"] == "5"
+    got = {r.attribute: r.fused_value for r in fuse_clusters(dirty, {"pop": "max"}).collect()}
+    assert got["pop"] == "100"
+
     gold = spark.createDataFrame(
         [("c1", "pop", "200.0"), ("c1", "name", "Leipzig"),
          ("c2", "pop", "50.0"), ("c2", "name", "Halle")],
