@@ -5,6 +5,7 @@ from odibel_spark.functions.text import (  # noqa: F401
     token_count,
 )
 from odibel_spark.functions.dedup import (  # noqa: F401
+    benchmark_contamination,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_signatures,
