@@ -312,6 +312,20 @@ def q_text_decontamination(spark, sf_dir):
     return D.benchmark_contamination(corpus, bench, n=3, min_shared=3)
 
 
+def q_text_packing(spark, sf_dir):
+    """Token-budgeted greedy sequence packing over the documents table
+    (functions/packing.py): md5-bucketed independent streams, classic
+    greedy fold per stream in doc-id order, 200-token budget. The
+    DuckDB oracle replays the fold with a recursive CTE — value-exact
+    because the bucketing and ordering are deterministic."""
+    from odibel_spark.functions.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(d, "doc_id", "n_tokens", max_tokens=200, buckets=8)
+
+
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Per-ingest-batch dedup: documents with doc_id % 5 == 0 arrive as
     a new batch and match against an LSH index built over the other
@@ -903,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": q_dedup_minhash_verified,
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "text_decontamination": q_text_decontamination,
+        "text_packing": q_text_packing,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1310,6 +1325,31 @@ FROM fp GROUP BY fp HAVING count(*) > 1
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
     sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
     sql["dedup_incremental_lsh"] = _incremental_lsh_sql(2, 8, 4, 0.375)
+
+    # replay the per-bucket greedy fold sequentially with a recursive
+    # CTE — deterministic md5 bucketing + doc_id order make the Spark
+    # applyInPandas result value-exact against it
+    sql["text_packing"] = f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
+),
+folded AS (
+    SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN f.acc > 0 AND f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
+           CASE WHEN f.acc > 0 AND f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
+    FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folded
+"""
 
     sql["text_decontamination"] = f"""
 WITH {_shingles_cte(3)},

@@ -44,6 +44,8 @@ ANALYTICS = [
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
     "dedup_incremental_lsh",
+    "text_decontamination",
+    "text_packing",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "as_of_lookup",
