@@ -1344,8 +1344,8 @@ folded AS (
     FROM ranked WHERE rn = 1
     UNION ALL
     SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
-           CASE WHEN f.acc > 0 AND f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
-           CASE WHEN f.acc > 0 AND f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
+           CASE WHEN f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
+           CASE WHEN f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
     FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
 )
 SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folded

@@ -240,7 +240,11 @@ def fuse_clusters(
     # lexicographic second key. Null VALUES produce a null order key,
     # which max_by/min_by skip (matching the old F.min/F.max). try_cast:
     # ANSI mode is on, and rules share a table with non-numeric attrs.
-    num = v.try_cast("double")
+    raw_num = v.try_cast("double")
+    # a literal "NaN" string try_casts to NaN, which Spark orders ABOVE
+    # +Infinity — without this guard it would beat every real number
+    # under the max rule; treat it as non-numeric like any other dirt
+    num = F.when(raw_num.isNotNull() & ~F.isnan(raw_num), raw_num)
     s = v.cast("string")
     max_key = F.when(v.isNotNull(), F.struct(F.coalesce(num, F.lit(float("-inf"))).alias("n"), s.alias("s")))
     min_key = F.when(v.isNotNull(), F.struct(F.coalesce(num, F.lit(float("inf"))).alias("n"), s.alias("s")))

@@ -480,10 +480,15 @@ def benchmark_contamination(
         F.array_distinct(_shingle_array(F.col(doc_text), n)),
         lambda sh: F.length(sh) > 0,
     )
-    d_sh = docs.select(
+    # materialize the array in its own projection BEFORE size/explode:
+    # referencing the expression twice would re-evaluate the whole
+    # O(doc-length) array build once per EXPLODED ROW (ExtractGenerator
+    # keeps the generator input above the project), turning the scan
+    # quadratic per document
+    d_sh = docs.select(F.col(doc_id), valid.alias("_sh")).select(
         F.col(doc_id),
-        F.size(valid).alias("doc_shingles"),
-        F.explode(valid).alias("shingle"),
+        F.size("_sh").alias("doc_shingles"),
+        F.explode("_sh").alias("shingle"),
     )
     b_sh = F.broadcast(
         word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from odibel_spark.functions.dedup import _str_hash
+
 
 def pack_documents(
     docs: DataFrame,
@@ -58,11 +60,12 @@ def pack_documents(
         raise ValueError("buckets must be > 0")
     src = docs.select(
         F.col(id_col),
-        F.col(tokens_col).cast("long").alias(tokens_col),
-        (
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-            .cast("long") % buckets
-        ).alias("bucket"),
+        # nulls pack as zero-length (can't contribute a budget); count
+        # tokens upstream if a null should be an error instead — and a
+        # null would otherwise arrive in the Arrow batch as NaN and
+        # crash int() deep inside the executor
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias(tokens_col),
+        (_str_hash(F.col(id_col).cast("string")) % buckets).alias("bucket"),
     )
     out_schema = (
         f"{id_col} {dict(docs.dtypes)[id_col]}, {tokens_col} long, "
@@ -74,11 +77,14 @@ def pack_documents(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         seqs, oversize = [], []
         seq, acc = 0, 0
-        for t in pdf[tokens_col]:
+        for i, t in enumerate(pdf[tokens_col]):
             t = int(t)
-            # classic greedy: overflow starts a new pack (acc > 0 guard:
-            # an oversize doc entering an EMPTY pack stays there alone)
-            if acc > 0 and acc + t > cap:
+            # classic greedy: overflow starts a new pack. Guarding on
+            # row index (not acc > 0) keeps two invariants: an oversize
+            # doc never shares a pack with preceding zero-token docs
+            # (its own overflow fires even at acc == 0), and nothing
+            # joins an oversize doc's pack afterwards (acc > cap).
+            if i > 0 and acc + t > cap:
                 seq += 1
                 acc = 0
             seqs.append(seq)

@@ -169,6 +169,15 @@ def test_fuse_clusters_rules_and_quality(spark):
     got = {r.attribute: r.fused_value for r in fuse_clusters(dirty, {"pop": "max"}).collect()}
     assert got["pop"] == "100"
 
+    # the literal string "NaN" try_casts to NaN, which Spark orders
+    # ABOVE +inf — it must be treated as dirt, not a winning number
+    nan = spark.createDataFrame(
+        [("c1", "e1", "pop", "9"), ("c1", "e2", "pop", "10"), ("c1", "e3", "pop", "NaN")],
+        "cluster_id string, entity_id string, attribute string, value string",
+    )
+    got = {r.attribute: r.fused_value for r in fuse_clusters(nan, {"pop": "max"}).collect()}
+    assert got["pop"] == "10"
+
     gold = spark.createDataFrame(
         [("c1", "pop", "200.0"), ("c1", "name", "Leipzig"),
          ("c2", "pop", "50.0"), ("c2", "name", "Halle")],

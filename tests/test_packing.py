@@ -59,3 +59,21 @@ def test_oversize_documents_pack_alone(spark):
 
     with pytest.raises(ValueError, match="max_tokens"):
         pack_documents(docs, "doc_id", "n_tokens", max_tokens=0)
+
+
+def test_oversize_isolated_even_after_zero_token_docs(spark):
+    """A zero-token document leaves acc == 0, which must NOT let the
+    following oversize document share its pack (row-index guard, not
+    acc > 0); null token counts pack as zero-length instead of
+    crashing the Arrow batch."""
+    docs = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 500), (4, 10)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_documents(docs, "doc_id", "n_tokens", max_tokens=100, buckets=1).collect()
+    packs = _packs(rows)
+    (oversize_pack,) = [m for m in packs.values() if any(r.oversize for r in m)]
+    assert [r.doc_id for r in oversize_pack] == [3]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[2].n_tokens == 0 and by_id[2].pack_seq == by_id[1].pack_seq
+    assert by_id[4].pack_seq > by_id[3].pack_seq  # nothing joins the oversize pack
