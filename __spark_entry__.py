@@ -326,6 +326,24 @@ def q_text_packing(spark, sf_dir):
     return pack_documents(d, "doc_id", "n_tokens", max_tokens=200, buckets=8)
 
 
+def q_corpus_prepare(spark, sf_dir):
+    """End-to-end corpus preparation as ONE oracle-checked plan
+    (functions/corpus.py): exact dedup (canonical per fingerprint) →
+    drop documents sharing >= 3 shingles with the held-out benchmark
+    (every 50th doc) → token-count and greedy-pack survivors into
+    200-token sequences."""
+    from odibel_spark.functions.corpus import prepare_training_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return prepare_training_corpus(
+        corpus, bench, n=3, min_shared=3, max_tokens=200, buckets=8
+    )
+
+
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Per-ingest-batch dedup: documents with doc_id % 5 == 0 arrive as
     a new batch and match against an LSH index built over the other
@@ -918,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_lsh": q_dedup_incremental_lsh,
         "text_decontamination": q_text_decontamination,
         "text_packing": q_text_packing,
+        "corpus_prepare": q_corpus_prepare,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -1013,6 +1032,21 @@ buckets AS ({buckets})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
+
+
+def _shingles_of(src_sql: str, idc: str, n: int) -> str:
+    """Distinct word n-gram shingles of an arbitrary (id, text) source
+    — the parameterized twin of _shingles_cte (which is pinned to the
+    documents view)."""
+    return f"""
+    SELECT DISTINCT {idc}, shingle FROM (
+        SELECT {idc},
+               unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+                   i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
+        FROM (SELECT {idc}, string_split_regex({_NORM_TEXT}, '\\s+') AS toks FROM {src_sql})
+    ) WHERE length(shingle) > 0
+    """
 
 
 def _incremental_lsh_sql(n: int, k: int, bands: int, threshold: float) -> str:
@@ -1325,6 +1359,47 @@ FROM fp GROUP BY fp HAVING count(*) > 1
     sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
     sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
     sql["dedup_incremental_lsh"] = _incremental_lsh_sql(2, 8, 4, 0.375)
+
+    # the full preparation pipeline composed in SQL: canonical-per-
+    # fingerprint → contamination anti-join → token count → the same
+    # recursive-CTE greedy fold as text_packing
+    sql["corpus_prepare"] = f"""
+WITH RECURSIVE
+reps AS (
+    SELECT min(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents WHERE doc_id % 50 <> 0)
+    GROUP BY fp
+),
+kept0 AS (SELECT d.doc_id, d.text FROM documents d JOIN reps USING (doc_id)),
+dsh AS ({_shingles_of("kept0", "doc_id", 3)}),
+bsh AS ({_shingles_of("(SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 50 = 0) bt", "bench_id", 3)}),
+contaminated AS (
+    SELECT doc_id FROM (
+        SELECT dsh.doc_id, bsh.bench_id, count(*) AS ns
+        FROM dsh JOIN bsh ON dsh.shingle = bsh.shingle
+        GROUP BY dsh.doc_id, bsh.bench_id
+    ) WHERE ns >= 3 GROUP BY doc_id
+),
+base AS (
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+    FROM kept0 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
+),
+folded AS (
+    SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
+           CASE WHEN f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
+    FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folded
+"""
 
     # replay the per-bucket greedy fold sequentially with a recursive
     # CTE — deterministic md5 bucketing + doc_id order make the Spark

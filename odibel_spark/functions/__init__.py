@@ -18,6 +18,7 @@ from odibel_spark.functions.dedup_incremental import (  # noqa: F401
     incremental_near_duplicates,
     minhash_index,
 )
+from odibel_spark.functions.corpus import prepare_training_corpus  # noqa: F401
 from odibel_spark.functions.packing import pack_documents  # noqa: F401
 from odibel_spark.functions.similarity import (  # noqa: F401
     cosine_top_k,
