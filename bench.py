@@ -46,6 +46,7 @@ ANALYTICS = [
     "dedup_incremental_lsh",
     "text_decontamination",
     "text_packing",
+    "corpus_prepare",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
     "as_of_lookup",
