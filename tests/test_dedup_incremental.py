@@ -122,6 +122,60 @@ def test_index_maintained_incrementally_across_batches(spark, tmpdir_path):
     assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in out] == [(60, 50, 1.0)]
 
 
+def test_cdc_changelog_feeds_incremental_dedup(spark, tmpdir_path):
+    """The module docstring's CDC recipe, executed: each commit range
+    of a MoR lake table's changes() becomes the new batch — matched
+    against the index (after the documented id anti-join for updates),
+    then appended. A turn whose text duplicates an earlier commit's
+    turn is flagged; the updated version of an existing turn is not
+    matched against its own prior version."""
+    from odibel_spark.lake import BucketSpec, create_cdc_table, merge_upsert
+    from tests.test_lake import KEYS, TRANSCRIPT_FIELDS
+
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "dedup_feed"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    boiler = "please accept our terms of service before continuing with anything"
+    merge_upsert(t, spark.createDataFrame(
+        [(1, "insert", "c1", 0, "user", boiler, None, None),
+         (2, "insert", "c2", 0, "user", "an original question about join reordering", None, None)],
+        schema), KEYS)
+    v1 = t.current_version()
+
+    def as_docs(ch):
+        return ch.filter(~F.col("_deleted")).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+
+    idx_path = os.path.join(tmpdir_path, "turn_idx")
+    minhash_index(as_docs(t.changes(0, v1)), id_col="doc_id", **PARAMS).write.partitionBy(
+        "band"
+    ).parquet(idx_path)
+
+    # commit 2: one update of an existing turn + one fresh turn that
+    # duplicates commit 1's boilerplate
+    merge_upsert(t, spark.createDataFrame(
+        [(3, "update", "c2", 0, "user", "an original question about join ordering", None, None),
+         (4, "insert", "c3", 0, "user", boiler, None, None)],
+        schema), KEYS)
+    batch = as_docs(t.changes(v1))
+    index = spark.read.parquet(idx_path)
+    # documented recipe: updates re-use ids — anti-join indexed ids
+    fresh = batch.join(index.select("doc_id").distinct(), "doc_id", "left_anti")
+    out = incremental_near_duplicates(
+        fresh, index, id_col="doc_id", threshold=0.9, **PARAMS
+    ).collect()
+    assert [(r.new_id, r.corpus_id, r.est_jaccard) for r in out] == [("c3#0", "c1#0", 1.0)]
+    minhash_index(fresh, id_col="doc_id", **PARAMS).write.mode("append").partitionBy(
+        "band"
+    ).parquet(idx_path)
+    assert spark.read.parquet(idx_path).select("doc_id").distinct().count() == 3
+
+
 def test_index_survives_parquet_round_trip(spark, corpus_index, tmpdir_path):
     path = os.path.join(tmpdir_path, "lsh_index")
     corpus_index.write.mode("overwrite").partitionBy("band").parquet(path)

@@ -173,6 +173,36 @@ def test_fingerprint_collapse_partial_agg(spark):
         assert "Window" not in plan(df), "collapse regressed to a full-row window shuffle"
 
 
+def test_incremental_lookup_never_cartesian(spark):
+    """The incremental-dedup candidate stage must stay an equi-join on
+    (band, bkey) against the index — a nested-loop fallback is the
+    batch-×-corpus pairing the index exists to avoid."""
+    from odibel_spark.functions.dedup_incremental import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    corpus = spark.createDataFrame([(1, "alpha beta gamma delta")], "doc_id long, text string")
+    new = spark.createDataFrame([(2, "alpha beta gamma epsilon")], "doc_id long, text string")
+    idx = minhash_index(corpus, n=2, k=8, bands=4)
+    p = plan(incremental_near_duplicates(new, idx, n=2, k=8, bands=4))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_packing_single_shuffle(spark):
+    """pack_documents is one bucket shuffle feeding the Arrow greedy
+    fold — a second exchange means the groupBy stopped accepting the
+    bucket distribution."""
+    from odibel_spark.functions.packing import pack_documents
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 40 + 1).alias("n_tokens")
+    )
+    p = plan(pack_documents(docs, "doc_id", "n_tokens", max_tokens=100, buckets=4))
+    assert count_exchanges(p) == 1, p
+    assert "FlatMapGroupsInPandas" in p
+
+
 def test_sampler_related_expansion_broadcasts_seeds(spark):
     """Entity-sampler neighbor expansion must broadcast the (tiny) seed
     set into the adjacency scan — never shuffle-deduplicate the full
