@@ -999,15 +999,7 @@ _LANG_LISTS = {
 def _shingles_cte(n: int) -> str:
     """Distinct word n-gram shingles per doc (mirrors dedup.word_shingles)."""
     return f"""
-shingles AS (
-    SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(
-                   generate_series(1, greatest(len(toks) - {n - 1}, 1)),
-                   i -> array_to_string(toks[i:i+{n - 1}], ' '))) AS shingle
-        FROM (SELECT doc_id, string_split_regex({_NORM_TEXT}, '\\s+') AS toks FROM documents)
-    ) WHERE length(shingle) > 0
-)
+shingles AS ({_shingles_of("documents", "doc_id", n)})
 """
 
 
@@ -1047,6 +1039,37 @@ def _shingles_of(src_sql: str, idc: str, n: int) -> str:
         FROM (SELECT {idc}, string_split_regex({_NORM_TEXT}, '\\s+') AS toks FROM {src_sql})
     ) WHERE length(shingle) > 0
     """
+
+
+def _pack_tokens_bucket_cols(buckets: int) -> str:
+    """n_tokens + md5 bucket columns (mirrors token_count + the
+    pack_documents bucketing) — expects a ``doc_id, text`` source."""
+    return f"""doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
+           {_STR_HASH.format(x="CAST(doc_id AS VARCHAR)")} % {buckets} AS bucket"""
+
+
+def _pack_fold_sql(cap: int) -> str:
+    """Recursive-CTE greedy fold + final projection over a CTE named
+    ``base`` (doc_id, n_tokens, bucket) — shared by the text_packing
+    and corpus_prepare oracles so the fold rule (which mirrors
+    packing.pack_documents' guard exactly) can never desynchronize
+    between them."""
+    return f"""
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
+),
+folded AS (
+    SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
+    FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN f.acc + r.n_tokens > {cap} THEN f.pack_seq + 1 ELSE f.pack_seq END,
+           CASE WHEN f.acc + r.n_tokens > {cap} THEN r.n_tokens ELSE f.acc + r.n_tokens END
+    FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
+)
+SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > {cap} AS oversize FROM folded
+"""
 
 
 def _incremental_lsh_sql(n: int, k: int, bands: int, threshold: float) -> str:
@@ -1381,24 +1404,10 @@ contaminated AS (
     ) WHERE ns >= 3 GROUP BY doc_id
 ),
 base AS (
-    SELECT doc_id,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
-           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+    SELECT {_pack_tokens_bucket_cols(8)}
     FROM kept0 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
-ranked AS (
-    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
-),
-folded AS (
-    SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
-    FROM ranked WHERE rn = 1
-    UNION ALL
-    SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
-           CASE WHEN f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
-           CASE WHEN f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
-    FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
-)
-SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folded
+{_pack_fold_sql(200)}
 """
 
     # replay the per-bucket greedy fold sequentially with a recursive
@@ -1406,24 +1415,10 @@ SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folde
     # applyInPandas result value-exact against it
     sql["text_packing"] = f"""
 WITH RECURSIVE base AS (
-    SELECT doc_id,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
-           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+    SELECT {_pack_tokens_bucket_cols(8)}
     FROM documents
 ),
-ranked AS (
-    SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM base
-),
-folded AS (
-    SELECT bucket, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS pack_seq, n_tokens AS acc
-    FROM ranked WHERE rn = 1
-    UNION ALL
-    SELECT r.bucket, r.rn, r.doc_id, r.n_tokens,
-           CASE WHEN f.acc + r.n_tokens > 200 THEN f.pack_seq + 1 ELSE f.pack_seq END,
-           CASE WHEN f.acc + r.n_tokens > 200 THEN r.n_tokens ELSE f.acc + r.n_tokens END
-    FROM folded f JOIN ranked r ON r.bucket = f.bucket AND r.rn = f.rn + 1
-)
-SELECT doc_id, n_tokens, bucket, pack_seq, n_tokens > 200 AS oversize FROM folded
+{_pack_fold_sql(200)}
 """
 
     sql["text_decontamination"] = f"""

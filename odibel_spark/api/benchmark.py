@@ -252,7 +252,9 @@ def fuse_clusters(
         F.max_by(s, max_key).alias("_max"),
         F.min_by(s, min_key).alias("_min"),
         F.concat_ws(",", F.array_sort(F.collect_set(v.cast("string")))).alias("_concat"),
-        F.avg(v.try_cast("double")).cast("string").alias("_average"),
+        # the NaN-guarded num, not raw try_cast: avg propagates NaN,
+        # so one literal "NaN" string would poison the whole average
+        F.avg(num).cast("string").alias("_average"),
         F.min(v.cast("string")).alias("_first"),
     )
     chain = None

@@ -55,9 +55,12 @@ def prepare_training_corpus(
     ).groupBy("_fp").agg(F.min(id_col).alias(id_col))
     kept = docs.join(reps.select(id_col), id_col, "left_semi")
     if benchmark is not None:
+        # no distinct: anti-join semantics are duplicate-insensitive on
+        # the right side, so deduping the contamination list would only
+        # add a shuffle
         contaminated = benchmark_contamination(
             kept, benchmark, id_col, text_col, bench_id, bench_text, n, min_shared
-        ).select(id_col).distinct()
+        ).select(id_col)
         kept = kept.join(contaminated, id_col, "left_anti")
     counted = kept.select(id_col, token_count(F.col(text_col)).alias("n_tokens"))
     return pack_documents(counted, id_col, "n_tokens", max_tokens, buckets)

@@ -177,6 +177,9 @@ def test_fuse_clusters_rules_and_quality(spark):
     )
     got = {r.attribute: r.fused_value for r in fuse_clusters(nan, {"pop": "max"}).collect()}
     assert got["pop"] == "10"
+    # ...and NaN must not poison the average either (avg propagates NaN)
+    got = {r.attribute: r.fused_value for r in fuse_clusters(nan, {"pop": "average"}).collect()}
+    assert got["pop"] == "9.5"
 
     gold = spark.createDataFrame(
         [("c1", "pop", "200.0"), ("c1", "name", "Leipzig"),
