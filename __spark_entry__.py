@@ -1011,18 +1011,47 @@ def _minhash_sql(n: int, k: int) -> str:
     return f"WITH {_shingles_cte(n)} SELECT doc_id, {aggs} FROM shingles GROUP BY doc_id"
 
 
-def _minhash_lsh_sql(n: int, k: int, bands: int) -> str:
+def _minhash_lsh_sql(n: int, k: int, bands: int, max_bucket: int | None = None) -> str:
+    """Banded-LSH candidate pairs. With ``max_bucket`` set, mirrors the
+    Spark engine's residual-skew cap exactly: the engine collapses
+    exact duplicates to one fingerprint representative before
+    bucketing and drops buckets holding more than ``max_bucket``
+    DISTINCT fingerprints (dedup._bucket_pairs), while same-fingerprint
+    pairs are always emitted for docs with ≥1 shingle. The SQL twin
+    counts distinct normalized-text fingerprints per bucket, prunes
+    over-cap buckets, and unions the same-fingerprint pairs — so the
+    oracle exercises the capped path, not just the uncapped one."""
     rows = k // bands
     band_rows = []
     for b in range(bands):
         cols = " || '_' || ".join(f"CAST(mh{b * rows + r} AS VARCHAR)" for r in range(rows))
         band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
     buckets = " UNION ALL ".join(band_rows)
-    return f"""
+    if max_bucket is None:
+        return f"""
 WITH sig AS ({_minhash_sql(n, k)}),
 buckets AS ({buckets})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM buckets a JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+    return f"""
+WITH sig AS ({_minhash_sql(n, k)}),
+fpt AS (SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents),
+buckets AS ({buckets}),
+allowed AS (
+    SELECT band, bkey FROM buckets JOIN fpt USING (doc_id)
+    GROUP BY band, bkey HAVING count(DISTINCT fp) <= {max_bucket}
+)
+SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    JOIN allowed al ON al.band = a.band AND al.bkey = a.bkey
+    UNION ALL
+    SELECT x.doc_id, y.doc_id
+    FROM fpt x JOIN fpt y ON x.fp = y.fp AND x.doc_id < y.doc_id
+    WHERE x.doc_id IN (SELECT doc_id FROM sig)
+)
 """
 
 
@@ -1379,8 +1408,12 @@ FROM fp GROUP BY fp HAVING count(*) > 1
 
     sql["dedup_ngram_jaccard"] = _jaccard_sql(2, 0.08)
     sql["dedup_minhash_signatures"] = _minhash_sql(2, 8)
-    sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4)
-    sql["dedup_minhash_verified"] = _jaccard_sql(2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4))
+    # max_bucket mirrors the Spark queries' default residual-skew cap
+    # (DEFAULT_MAX_BUCKET) so the capped path is what the gate checks
+    sql["dedup_minhash_lsh"] = _minhash_lsh_sql(2, 8, 4, max_bucket=2048)
+    sql["dedup_minhash_verified"] = _jaccard_sql(
+        2, 0.08, candidates_cte=_minhash_lsh_sql(2, 8, 4, max_bucket=2048)
+    )
     sql["dedup_incremental_lsh"] = _incremental_lsh_sql(2, 8, 4, 0.375)
 
     # the full preparation pipeline composed in SQL: canonical-per-
@@ -1498,11 +1531,26 @@ LIMIT 10
         f"SELECT vec_id, {b} AS band, (sig >> {b * _rows}) & {_mask} AS bkey FROM sigs"
         for b in range(2)
     )
+    # cap mirror (see _minhash_lsh_sql): the engine caps buckets by
+    # DISTINCT vector values (fingerprint reps) and always emits
+    # identical-vector pairs; the SQL twin counts distinct embeddings
+    # per bucket and unions the identical-vector pairs
     sql["dedup_embedding_lsh"] = f"""
 WITH sigs AS (SELECT vec_id, {_sig_terms} AS sig FROM embeddings),
-bands AS ({_band_sel})
-SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+bands AS ({_band_sel}),
+allowed AS (
+    SELECT band, bkey FROM bands JOIN embeddings USING (vec_id)
+    GROUP BY band, bkey HAVING count(DISTINCT embedding) <= 2048
+)
+SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    JOIN allowed al ON al.band = a.band AND al.bkey = a.bkey
+    UNION ALL
+    SELECT x.vec_id, y.vec_id
+    FROM embeddings x JOIN embeddings y
+      ON x.embedding IS NOT DISTINCT FROM y.embedding AND x.vec_id < y.vec_id
+)
 """
 
     sql["stream_windowed_counts"] = f"""
@@ -1797,7 +1845,7 @@ FROM b
 """
 
     sql["graph_components"] = f"""
-WITH RECURSIVE pairs AS ({_minhash_lsh_sql(2, 8, 4).strip()}),
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql(2, 8, 4, max_bucket=2048).strip()}),
 edges AS (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION

@@ -437,8 +437,13 @@ def matching_pair_metrics(
     get_ground_truth labels exist to drive, schema_matching/data.py:
     100-112). ``predicted`` lists proposed (source, target) matches;
     ``gold`` carries the labeled mappings. Unlabeled gold rows are
-    excluded (reference semantics: None is not a judgment). One
-    full-outer join on the pair key, one aggregation."""
+    excluded in BOTH directions (reference semantics: None is not a
+    judgment): an unjudged pair neither counts toward recall nor —
+    when predicted — toward ``n_pred``, so precision is computed over
+    judged pairs only. Pairs absent from gold entirely are judged
+    non-matches (the mapping set is complete over its space) and stay
+    false positives. One full-outer join on the pair key, one
+    aggregation."""
     p = predicted.select(
         F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"), F.lit(True).alias("_pred")
     ).distinct()
@@ -446,11 +451,12 @@ def matching_pair_metrics(
     # annotated both True and False in a merged mapping set) collapse
     # to match=True — otherwise the pair joins twice and inflates
     # n_pred, under-reporting precision for a correct prediction
-    g = (
-        gold.filter(F.col(match_col).isNotNull())
-        .groupBy(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t"))
-        .agg(F.max(F.col(match_col).cast("boolean")).alias("_gold"))
+    g_all = gold.groupBy(F.col(src_col).alias("_s"), F.col(dst_col).alias("_t")).agg(
+        F.max(F.col(match_col).cast("boolean")).alias("_gold")
     )
+    unjudged = g_all.filter(F.col("_gold").isNull()).select("_s", "_t")
+    g = g_all.filter(F.col("_gold").isNotNull())
+    p = p.join(unjudged, ["_s", "_t"], "left_anti")
     j = p.join(g, ["_s", "_t"], "full_outer")
     row = j.agg(
         F.sum((F.col("_pred").isNotNull() & (F.col("_gold") == True)).cast("long")).alias("tp"),  # noqa: E712

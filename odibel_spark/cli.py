@@ -77,7 +77,9 @@ def rdf_group():
 
 
 @rdf_group.command("run")
-@click.option("--input", "input_path", required=True, type=click.Path(exists=True, dir_okay=False))
+# dir_okay: Spark text sources read directories of part files — the
+# normal output shape of a previous Spark job — as readily as one file
+@click.option("--input", "input_path", required=True, type=click.Path(exists=True, dir_okay=True))
 @click.option("--output", "output_path", required=True, type=click.Path())
 @click.option(
     "--filter-s-type",

@@ -37,24 +37,42 @@ MINHASH_BANDS = 4  # 4 rows per band
 #: bucket of m members expands to m(m-1)/2 pairs inside one task;
 #: 2048 bounds that at ~2.1M structs. Overflowing buckets are dropped
 #: and the drop is surfaced through the query's observed metrics
-#: (``LSH_CAP_METRIC``) — never silently.
+#: (name prefixed ``LSH_CAP_METRIC``, unique per call) — never
+#: silently.
 DEFAULT_MAX_BUCKET = 2048
 LSH_CAP_METRIC = "lsh_bucket_cap"
+
+#: Monotonic suffix for default observation names: two capped LSH
+#: stages composed into ONE query (e.g. MinHash ∪ embedding LSH) would
+#: otherwise both observe under the constant name and Spark rejects
+#: duplicate observed-metric names with AnalysisException.
+_OBS_COUNTER = __import__("itertools").count()
 
 #: Cached intermediates from the most recent dedup pipeline assembly.
 #: Long-lived sessions invoke these pipelines repeatedly; each new
 #: assembly unpersists the previous one's caches so storage memory is
 #: bounded by ONE pipeline's working set instead of growing per call.
+#:
+#: ONE-LIVE-PIPELINE RULE: assembling a dedup pipeline unpersists the
+#: previous assembly's caches, so consume (or checkpoint) one
+#: pipeline's result before building the next — results stay CORRECT
+#: either way (plans recompute from lineage), but the earlier plan
+#: loses its cache acceleration. The registry is lock-guarded so
+#: concurrent assemblies from different threads can't corrupt it.
 _ACTIVE_CACHES: list[DataFrame] = []
+_CACHE_LOCK = __import__("threading").Lock()
 
 
 def clear_dedup_caches() -> None:
     """Unpersist every cached intermediate registered by dedup
     pipelines in this session (safe to call any time: plans built on
-    top of them recompute from lineage)."""
-    while _ACTIVE_CACHES:
+    top of them recompute from lineage). See the one-live-pipeline
+    rule on ``_ACTIVE_CACHES``."""
+    with _CACHE_LOCK:
+        drained, _ACTIVE_CACHES[:] = _ACTIVE_CACHES[:], []
+    for df in drained:
         try:
-            _ACTIVE_CACHES.pop().unpersist(blocking=False)
+            df.unpersist(blocking=False)
         except Exception:
             pass
 
@@ -63,7 +81,8 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     """cache() with session hygiene — registers the cache so the next
     pipeline assembly (or clear_dedup_caches) releases it."""
     df = df.cache()
-    _ACTIVE_CACHES.append(df)
+    with _CACHE_LOCK:
+        _ACTIVE_CACHES.append(df)
     return df
 
 
@@ -298,20 +317,38 @@ def minhash_lsh_candidates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
+    collapse: bool = True,
 ) -> DataFrame:
     """LSH banding: split the K-signature into ``bands`` bands of
     k/bands rows; documents sharing any full band become candidate
     pairs (id_a < id_b, distinct). The band join is the only shuffle
     that touches pairs, and it only materializes colliding ones.
 
-    Skew guard: exact duplicates are collapsed to one representative
-    per content fingerprint BEFORE shingling (``_fingerprint_collapse``
-    — output-equivalent, see its docstring), so mass-duplicate
-    clusters cost one member each in every bucket; residual buckets
-    larger than ``max_bucket_size`` DISTINCT fingerprints are dropped
-    with the drop count surfaced via observed metrics
-    (``LSH_CAP_METRIC`` in the Spark UI / QueryExecution metrics)."""
+    Skew guard (``collapse=True``, the default): exact duplicates are
+    collapsed to one representative per content fingerprint BEFORE
+    shingling (``_fingerprint_collapse`` — output-equivalent, see its
+    docstring), so mass-duplicate clusters cost one member each in
+    every bucket; residual buckets larger than ``max_bucket_size``
+    DISTINCT fingerprints are dropped with the drop count surfaced via
+    observed metrics (name prefixed ``LSH_CAP_METRIC``, unique per
+    call, in the Spark UI / QueryExecution metrics).
+
+    ``collapse`` is a PERFORMANCE knob — the pair set is identical
+    either way as long as no bucket overflows ``max_bucket_size``.
+    True costs one extra fingerprint shuffle of the corpus
+    plus two narrow re-expansion joins, and wins big (4× on the
+    mass-dup A/B fixture, BENCH/ab_lsh_mass_dup.json) whenever exact
+    duplicates are common, because duplicates skip the shingle/
+    signature compute AND can't blow up bucket tasks. On a corpus KNOWN
+    to be mostly exact-distinct (e.g. already exact-deduped upstream),
+    pass ``collapse=False`` to skip that shuffle; the bucket cap then
+    counts DOCUMENTS, not distinct fingerprints, so mass duplicates
+    overflow buckets instead of pairing — only safe post-exact-dedup."""
     clear_dedup_caches()
+    if not collapse:
+        sig = minhash_signatures(docs, id_col, text_col, n, k)
+        buckets = _minhash_band_buckets(sig, id_col, k, bands)
+        return _bucket_pairs(buckets, id_col, max_bucket_size, observation)
     members, rep_docs = _fingerprint_collapse(
         docs, id_col, text_col, document_fingerprint(F.col(text_col))
     )
@@ -346,7 +383,8 @@ def _bucket_pairs(
     ``max_bucket_size`` cap bounds the residual worst case — an
     overflowing bucket is dropped, and the number of dropped buckets /
     ids and the largest bucket seen are recorded as observed metrics
-    named ``LSH_CAP_METRIC`` (visible to listeners and the UI), never
+    under a per-call ``LSH_CAP_METRIC``-prefixed name (visible to
+    listeners and the UI), never
     silently discarded.
 
     AQE caveat: if EVERY bucket overflows the cap, adaptive execution
@@ -363,7 +401,9 @@ def _bucket_pairs(
     if max_bucket_size is not None:
         over = F.size("ids") > max_bucket_size
         grouped = grouped.observe(
-            observation if observation is not None else LSH_CAP_METRIC,
+            observation
+            if observation is not None
+            else f"{LSH_CAP_METRIC}_{next(_OBS_COUNTER)}",
             F.sum(over.cast("long")).alias("dropped_buckets"),
             F.sum(F.when(over, F.size("ids")).otherwise(0)).alias("dropped_ids"),
             F.max(F.size("ids")).alias("max_bucket"),
@@ -383,6 +423,40 @@ def _bucket_pairs(
     )
 
 
+def _verify_jaccard(
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard over a candidate pair set: intersection
+    counted through the shingle join RESTRICTED to candidates, sizes
+    joined per side, threshold filter. ``sh`` is the (id, shingle)
+    table (typically cached — both the intersection and the sizes scan
+    it)."""
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str,
@@ -393,6 +467,7 @@ def minhash_near_duplicates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
+    collapse: bool = True,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact Jaccard verification
     restricted to candidates (semi-join pushes the filter into the
@@ -404,8 +479,18 @@ def minhash_near_duplicates(
     groups re-expand at the end with jaccard exactly 1.0 — identical
     normalized text means identical shingle sets — instead of flooding
     the LSH buckets. See ``minhash_lsh_candidates`` for the
-    ``max_bucket_size`` residual-skew cap."""
+    ``max_bucket_size`` residual-skew cap and the ``collapse``
+    performance knob (False skips the fingerprint shuffle — safe on
+    corpora already exact-deduped upstream; identical docs then verify
+    through the buckets at jaccard 1.0 instead of re-expanding)."""
     clear_dedup_caches()
+    if not collapse:
+        sh = _cache_scoped(
+            word_shingles(docs, id_col, text_col, n).withColumn("_h", _str_hash(F.col("shingle")))
+        )
+        sig = sh.groupBy(id_col).agg(*_minhash_aggs(k))
+        cand = _bucket_pairs(_minhash_band_buckets(sig, id_col, k, bands), id_col, max_bucket_size, observation)
+        return _verify_jaccard(cand, sh, id_col, threshold)
     members, rep_docs = _fingerprint_collapse(
         docs, id_col, text_col, document_fingerprint(F.col(text_col))
     )
@@ -415,24 +500,7 @@ def minhash_near_duplicates(
     sig = sh.groupBy(id_col).agg(*_minhash_aggs(k))
     rep_cand = _bucket_pairs(_minhash_band_buckets(sig, id_col, k, bands), id_col, max_bucket_size, observation)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        rep_cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    rep_verified = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    rep_verified = _verify_jaccard(rep_cand, sh, id_col, threshold, sizes=sizes)
     with_shingles = members.join(
         sizes.select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
     )
@@ -595,6 +663,7 @@ def embedding_lsh_candidates(
     dim: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
+    collapse: bool = True,
 ) -> DataFrame:
     """Banded LSH over hyperplane signatures: two vectors are candidate
     near-duplicates if any band of sign-bits matches exactly. Replaces
@@ -610,20 +679,49 @@ def embedding_lsh_candidates(
     collapsed to one representative per value fingerprint before
     bucketing (identical input → identical sign bits, so expansion is
     output-equivalent), and residual buckets beyond ``max_bucket_size``
-    are dropped with the count observed under ``LSH_CAP_METRIC``."""
+    are dropped with the count observed under a per-call
+    ``LSH_CAP_METRIC``-prefixed metric name. See
+    ``minhash_lsh_candidates`` for the ``collapse`` performance knob
+    (False skips the fingerprint shuffle; the cap then counts vectors,
+    not distinct values — safe only post-exact-dedup)."""
     if dim is None:  # fallback probe — an eager job; prefer passing dim
         dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     clear_dedup_caches()
-    # null elements map to a sentinel: concat_ws SKIPS nulls, which
-    # would fingerprint [1.0, null, 2.0] and [1.0, 2.0] identically
-    vec_fp = F.md5(
-        F.concat_ws(
-            ",", F.transform(F.col(vec_col), lambda x: F.coalesce(x.cast("string"), F.lit("∅")))
-        )
+    if not collapse:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
+        buckets = _hyperplane_band_buckets(sigs, id_col, n_planes, bands)
+        return _bucket_pairs(buckets, id_col, max_bucket_size, observation)
+    # xxhash64 over (null-sentineled values, null mask) — NOT md5 of a
+    # string concat: serializing every vector element to text twice per
+    # row was the dominant fingerprint cost. Spark's array hash SKIPS
+    # null elements (a null leaves the accumulator unchanged), so
+    # [1.0, null, 2.0] and [1.0, 2.0] would collide without the NaN
+    # sentinel, and the null mask separates a true NaN element from a
+    # null. The fingerprint never leaves the operator (collapse is
+    # output-equivalent), so engine-portability of the hash is not
+    # required; 64 bits is collision-safe well past 10^9 vectors.
+    vec_fp = F.xxhash64(
+        F.transform(F.col(vec_col), lambda x: F.coalesce(x, F.lit(float("nan")))),
+        F.transform(F.col(vec_col), lambda x: x.isNull()),
     )
     members, rep_vecs = _fingerprint_collapse(emb, id_col, vec_col, vec_fp)
     planes = random_hyperplanes(dim, n_planes, seed)
     sigs = embedding_lsh_signatures(rep_vecs, id_col, vec_col, planes)
+    buckets = _hyperplane_band_buckets(sigs, id_col, n_planes, bands)
+    rep_pairs = _bucket_pairs(buckets, id_col, max_bucket_size, observation)
+    # every vector row gets a signature (no empty-input analog), so
+    # exact-duplicate groups re-expand unconditionally
+    return _expand_cross(rep_pairs, members, id_col).unionByName(
+        _identical_pairs(members, id_col)
+    )
+
+
+def _hyperplane_band_buckets(
+    sigs: DataFrame, id_col: str, n_planes: int, bands: int
+) -> DataFrame:
+    """Split a hyperplane sign-bit signature into band buckets:
+    (id, band, bkey) with bkey the band's bit-slice."""
     rows = n_planes // bands
     mask = (1 << rows) - 1
     band_structs = [
@@ -633,12 +731,6 @@ def embedding_lsh_candidates(
         )
         for b in range(bands)
     ]
-    buckets = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    rep_pairs = _bucket_pairs(buckets, id_col, max_bucket_size, observation)
-    # every vector row gets a signature (no empty-input analog), so
-    # exact-duplicate groups re-expand unconditionally
-    return _expand_cross(rep_pairs, members, id_col).unionByName(
-        _identical_pairs(members, id_col)
-    )

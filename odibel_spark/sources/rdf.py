@@ -40,17 +40,27 @@ def validate_triples(df: DataFrame) -> DataFrame:
 
 
 def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Parse an N-Triples text file into the (s,p,o,isLiteral) table."""
+    """Parse an N-Triples text file into the (s,p,o,isLiteral) table.
+
+    Malformed lines are dropped, matching the reference's guards
+    (rdf2.py:58-62): fewer than 3 terms (``getItem(2)`` is null under
+    split-with-limit) or an empty object after stripping the terminator
+    (``"<s> <p> ."``) filter out instead of yielding a degenerate row.
+    """
     lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
     lines = lines.filter(
         (F.length("line") > 0) & ~F.col("line").startswith("#") & F.col("line").rlike(_TERMINATOR)
     )
     parts = F.split(F.col("line"), r"\s+", 3)
+    # F.get, not getItem: under ANSI mode a short line (fewer than 3
+    # terms) must yield null — which the guard below filters — not an
+    # ArrayIndexOutOfBounds task failure
     df = lines.select(
-        parts.getItem(0).alias("s"),
-        parts.getItem(1).alias("p"),
-        F.regexp_replace(parts.getItem(2), r"\s*\.\s*$", "").alias("o"),
+        F.get(parts, 0).alias("s"),
+        F.get(parts, 1).alias("p"),
+        F.regexp_replace(F.get(parts, 2), r"\s*\.\s*$", "").alias("o"),
     )
+    df = df.filter(F.col("o").isNotNull() & (F.length("o") > 0))
     return df.withColumn("isLiteral", F.col("o").startswith('"'))
 
 

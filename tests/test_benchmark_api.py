@@ -224,12 +224,13 @@ def test_matching_metrics_reference_semantics(spark):
     predicted = spark.createDataFrame(
         [("a.name", "b.label"),       # tp
          ("a.name", "b.population"),  # labeled false → fp
-         ("a.zip", "b.code")],        # unlabeled → excluded from gold, counts as pred
+         ("a.zip", "b.code"),         # unlabeled gold → unjudged, excluded from n_pred
+         ("a.pop", "b.code")],        # absent from gold → judged non-match, fp
         "source_attribute string, target_attribute string",
     )
     r = matching_pair_metrics(predicted, mappings)
     assert r["true_positives"] == 1
-    assert r["predicted_matches"] == 3
+    assert r["predicted_matches"] == 3  # the unjudged prediction is not counted
     assert r["gold_matches"] == 2
     assert r["precision"] == pytest.approx(1 / 3)
     assert r["recall"] == pytest.approx(0.5)

@@ -389,3 +389,26 @@ def test_temporal_output_models(spark, tmpdir_path):
         "v string, lang string",
     ).select(format_rdf_object(F.col("v"), F.col("lang")).alias("o"))
     assert [r.o for r in terms.collect()] == ["<http://ex/x>", '"plain text"', '"bonjour"@fr']
+
+
+def test_parse_ntriples_drops_malformed_lines(spark, tmpdir_path):
+    """Reference parity on dirty inputs (rdf2.py:58-62): lines with
+    fewer than 3 terms or an empty object after stripping the
+    terminator are filtered, never surfaced as degenerate rows."""
+    import os
+
+    dirty = "\n".join(
+        [
+            "<http://ex/a> <http://ex/p> <http://ex/b> .",
+            "<http://ex/s> <http://ex/p> .",   # 2 terms + terminator → empty object
+            "<http://ex/s> .",                 # 1 term + terminator
+            "<http://ex/s> <http://ex/p>",     # unterminated (already dropped)
+            '<http://ex/b> <http://ex/name> "two words" .',
+        ]
+    )
+    p = os.path.join(tmpdir_path, "dirty.nt")
+    with open(p, "w") as f:
+        f.write(dirty)
+    rows = parse_ntriples(spark, p).collect()
+    assert len(rows) == 2
+    assert {r.o for r in rows} == {"<http://ex/b>", '"two words"'}
