@@ -40,19 +40,19 @@ ANALYTICS = [
     "agg_value_stats",
     "tpch_q1",
     "star_join_topk",
-    "text_quality",
+    "text_profile",
     "dedup_minhash_lsh",
     "dedup_minhash_verified",
-    "dedup_incremental_lsh",
+    "cdc_incremental_dedup",
     "text_decontamination",
     "text_packing",
     "corpus_prepare",
     "dedup_embedding_lsh",
-    "sim_cosine_topk",
+    "sim_topk",
     "as_of_lookup",
     "cdc_interval_marks",
     "schema_graph_rollup",
-    "sample_by_type_targets",
+    "sample_suite",
 ]
 
 

@@ -57,6 +57,45 @@ def ivf_centroids(emb: DataFrame, list_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def ivf_top_k_trained(
+    emb_with_cluster: DataFrame,
+    centers: list[list[float]],
+    query_vec: list[float],
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """IVF probe against TRAINED centers (functions/kmeans.py): the
+    probe ranking happens driver-side over the k literal centers
+    (cosine in plain Python — deterministic and free; no Spark job),
+    then the scan is pruned to the probed cluster ids with an isin
+    filter that partition-prunes when the table is laid out by
+    cluster. Avoids ``ivf_top_k``'s float-mean centroid recomputation
+    entirely — the trained centers are exact by construction."""
+    import math
+
+    def cos(c):
+        dot = 0.0
+        nc = 0.0
+        nq = 0.0
+        for ci, qi in zip(c, query_vec):
+            dot += ci * qi
+            nc += ci * ci
+            nq += qi * qi
+        return dot / (math.sqrt(nc) * math.sqrt(nq))
+
+    ranked = sorted(range(len(centers)), key=lambda j: (-cos(centers[j]), j))
+    probed = ranked[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    pruned = emb_with_cluster.filter(F.col(cluster_col).isin(probed))
+    scored = pruned.select(
+        F.col(id_col), F.round(cosine_sim(F.col(vec_col), q), 6).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
 def ivf_top_k(
     emb: DataFrame,
     query_vec: list[float],

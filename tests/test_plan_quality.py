@@ -84,9 +84,25 @@ def test_mor_merge_single_exchange(spark, tmpdir_path):
 
 
 def test_ivf_probe_prunes_scan(spark, sf_dir):
-    p = plan(E.queries()["sim_ivf_topk"](spark, sf_dir))
-    # list pruning is a broadcast semi-join against the probed lists
+    p = plan(E.queries()["sim_topk"](spark, sf_dir))
+    # label-list pruning is a broadcast semi-join against the probed
+    # lists; the trained arm prunes with an isin filter instead
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # the trained arm prunes with a literal isin filter on the cluster
+    # column (partition-prunable when the table is laid out by cluster)
+    from odibel_spark.functions.kmeans import kmeans_assign
+    from odibel_spark.functions.similarity import ivf_top_k_trained
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centers = [[1.0, 0.0], [0.0, 1.0]]
+    pt = plan(ivf_top_k_trained(kmeans_assign(emb, centers, "vec_id", "embedding"),
+                                centers, [1.0, 0.0], "vec_id", "embedding", nprobe=1))
+    tree = pt.split("\n\n")[0]
+    assert "Filter" in tree, "cluster pruning must be a scan-level Filter"
+    assert "Exchange" not in tree, "trained-IVF probe must not shuffle"
 
 
 def test_interval_marks_no_shuffle(spark, sf_dir):
