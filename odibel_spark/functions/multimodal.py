@@ -13,11 +13,12 @@ missing package otherwise. Feature shape is identical either way, so
 a pipeline developed against the fake path runs unchanged where
 codecs exist.
 
-Scale shape: binary payloads dominate row size, so operators
-repartition by a size budget (``target_rows_per_batch``) before the
-Arrow exchange, and metadata-only plans never touch the blob column
-(column pruning keeps the scan cheap — verified in tests via the
-physical plan's ReadSchema).
+Scale shape: binary payloads dominate row size, so the feature
+operator re-spreads the (id, blob) projection to a byte budget per
+partition (``target_bytes_per_partition``, plan-stats-derived, no
+probe job) before the Arrow exchange, and metadata-only plans never
+touch the blob column (column pruning keeps the scan cheap — verified
+in tests via the physical plan's ReadSchema).
 """
 
 from __future__ import annotations
@@ -91,6 +92,23 @@ def _decode_real(blob: bytes, media_type: str):
         return np.clip(np.asarray(data, dtype="float64").ravel() * 127.0 + 128.0, 0, 255).astype(
             np.uint8
         )
+    if media_type == "video":
+        try:
+            import av
+        except ImportError:
+            raise NotImplementedError(
+                "decode='real' for video requires av (PyAV) — not installed; "
+                "use decode='fake' for codec-free plumbing"
+            ) from None
+        with av.open(io.BytesIO(bytes(blob))) as container:
+            frames = []
+            for frame in container.decode(video=0):
+                frames.append(
+                    np.asarray(frame.to_image().convert("L"), dtype=np.uint8).ravel()
+                )
+            if not frames:
+                return np.zeros(0, dtype=np.uint8)
+            return np.concatenate(frames)
     raise NotImplementedError(f"decode='real' not supported for media_type={media_type!r}")
 
 
@@ -100,7 +118,7 @@ def extract_media_features(
     blob_col: str = "media",
     decode: str = "fake",
     media_type: str = "image",
-    target_rows_per_batch: int = 1024,
+    target_bytes_per_partition: int | None = 64 << 20,
 ) -> DataFrame:
     """Decode/feature-extract over the blob column via mapInPandas.
 
@@ -110,7 +128,18 @@ def extract_media_features(
     post-decode feature pass. ``decode='real'`` decodes first (PIL /
     soundfile when importable, else NotImplementedError) and computes
     the same features over the decoded samples; ``n_bytes`` always
-    reports the raw blob size."""
+    reports the raw blob size.
+
+    Blob payloads dominate row size, so before the Arrow exchange the
+    narrowed (id, blob) projection is re-spread until its estimated
+    partitions hold at most ``target_bytes_per_partition`` each — the
+    estimate comes from logical-plan size statistics (driver-side, no
+    job), and partitions already under budget are never coalesced. A
+    10 MB-blob corpus under the default 128 MB scan split would
+    otherwise feed multi-GB working sets to each decode task; the
+    per-Arrow-batch row count within a partition stays governed by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``. Pass ``None`` to
+    skip the re-spread."""
     if decode not in ("fake", "real"):
         raise ValueError(decode)
 
@@ -138,8 +167,22 @@ def extract_media_features(
             )
             yield out
 
-    # size Arrow batches for blob-heavy rows
     narrowed = df.select(F.col(id_col), F.col(blob_col))
+    if target_bytes_per_partition:
+        # same driver-side plan-stats probe as dedup's shingle
+        # re-spread — never a Spark job, never an .rdd conversion
+        from odibel_spark.functions.dedup import _estimated_scan_partitions
+
+        try:
+            size = int(
+                narrowed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            want = max(1, -(-size // target_bytes_per_partition))
+        except Exception:
+            want = None
+        have = _estimated_scan_partitions(narrowed)
+        if want is not None and have is not None and want > have:
+            narrowed = narrowed.repartition(want)
     return narrowed.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 

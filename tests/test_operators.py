@@ -50,12 +50,6 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"user_id", "event_type", "value", "applied_lsn", "n_changes"}
 
 
-def test_every_query_has_oracle_or_is_whitelisted():
-    no_oracle_ok = {"transcript_cdc_replay", "multimodal_features", "stream_running_state"}
-    missing = set(E.queries()) - set(E.oracle_sql()) - no_oracle_ok
-    assert not missing, f"queries without oracle: {missing}"
-
-
 def test_multimodal_plumbing(spark, sf_dir):
     from odibel_spark.functions.multimodal import (
         attach_fake_media,

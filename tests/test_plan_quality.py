@@ -238,3 +238,18 @@ def test_sampler_related_expansion_broadcasts_seeds(spark):
     p = plan(related_entities(seeds, resource_adjacency(triples, deduplicate=False), 2, 7))
     assert "BroadcastHashJoin" in p
     assert "hashpartitioning(src" not in p, "full-edge dedup shuffle reappeared below the seed join"
+
+
+def test_media_features_respect_byte_budget(spark):
+    """extract_media_features re-spreads blob-heavy inputs to the byte
+    budget BEFORE the Arrow exchange (plan-stats-derived — the docstring
+    promise is pinned here), and skips the exchange when the input is
+    already under budget or the budget is disabled."""
+    from odibel_spark.functions.multimodal import attach_fake_media, extract_media_features
+
+    media = attach_fake_media(spark.range(512).withColumnRenamed("id", "doc_id"), "doc_id")
+    over = plan(extract_media_features(media, "doc_id", target_bytes_per_partition=1024))
+    tree = over.split("\n\n")[0]
+    assert "Exchange" in tree, "over-budget blobs must repartition before mapInPandas"
+    under = plan(extract_media_features(media, "doc_id", target_bytes_per_partition=None))
+    assert "Exchange" not in under.split("\n\n")[0]

@@ -119,15 +119,7 @@ def ab_lsh_mass_dup(spark, copies: int, reps: int) -> None:
     workload VERDICT r2 named as the one scale-killer)."""
     import pyspark.sql.functions as F
 
-    from odibel_spark.functions.dedup import (
-        MINHASH_BANDS,
-        MINHASH_K,
-        _bucket_pairs,
-        _minhash_band_buckets,
-        clear_dedup_caches,
-        minhash_lsh_candidates,
-        minhash_signatures,
-    )
+    from odibel_spark.functions.dedup import minhash_lsh_candidates
 
     n_distinct = 50
     # each variant is 20 md5-derived words — variants share (almost) no
@@ -154,13 +146,13 @@ def ab_lsh_mass_dup(spark, copies: int, reps: int) -> None:
         materialize(pairs.agg(F.count("*").alias("n")))
 
     def run_uncollapsed() -> None:
-        # the pre-r3 path, spelled via the same internals: every copy
-        # shingles/signs individually and lands in the band buckets,
-        # so each bucket's member array holds the whole dup cluster
-        clear_dedup_caches()
-        sig = minhash_signatures(docs, "doc_id", "text")
-        buckets = _minhash_band_buckets(sig, "doc_id", MINHASH_K, MINHASH_BANDS)
-        pairs = _bucket_pairs(buckets, "doc_id", None, None)
+        # the pre-r3 shape, now the public collapse=False knob: every
+        # copy shingles/signs individually and lands in the band
+        # buckets, so each bucket's member array holds the whole dup
+        # cluster
+        pairs = minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket_size=None, collapse=False
+        )
         materialize(pairs.agg(F.count("*").alias("n")))
 
     try:
@@ -181,9 +173,53 @@ def ab_lsh_mass_dup(spark, copies: int, reps: int) -> None:
         docs.unpersist()
 
 
+def ab_lsh_clean_corpus(spark, docs_n: int, reps: int) -> None:
+    """The collapse knob's cost at the OTHER extreme from lsh_mass_dup:
+    an all-distinct corpus, where the fingerprint pre-collapse buys
+    nothing and its extra shuffle + expansion joins are pure tax. Both
+    arms are the public API (``collapse=`` parameter, r4); together the
+    two artifacts bound the knob: collapse wins ~4× under mass
+    duplication, costs this much when the corpus is already clean."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions.dedup import minhash_lsh_candidates
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(20)),
+        lambda j: F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), j.cast("string"))),
+    )
+    docs = (
+        spark.range(docs_n)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+        .repartition(16)
+    )
+    docs.cache().count()
+
+    def run(collapse: bool):
+        pairs = minhash_lsh_candidates(
+            docs, "doc_id", "text", max_bucket_size=None, collapse=collapse
+        )
+        materialize(pairs.agg(F.count("*").alias("n")))
+
+    try:
+        run_ab(
+            "lsh_clean_corpus", spark,
+            {"collapsed": lambda: run(True), "uncollapsed": lambda: run(False)},
+            reps,
+            {"docs": docs_n, "distinct_texts": docs_n,
+             "note": "LSH candidate generation on an all-distinct corpus: collapsed = "
+                     "default skew guard (fingerprint shuffle is pure overhead here), "
+                     "uncollapsed = collapse=False (the documented knob for corpora "
+                     "already exact-deduped upstream). Output pair sets are equal; "
+                     "speedup_b_vs_a quantifies the clean-corpus tax the guard costs"},
+        )
+    finally:
+        docs.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000)
     ap.add_argument("--reps", type=int, default=3)
@@ -195,6 +231,8 @@ def main() -> int:
     spark = get_spark("ab-bench", cpus=args.cpus, shuffle_partitions=args.cpus * 2)
     if args.which == "trigger_posture":
         ab_trigger_posture(spark, args.events, args.reps)
+    elif args.which == "lsh_clean_corpus":
+        ab_lsh_clean_corpus(spark, args.copies, args.reps)
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
