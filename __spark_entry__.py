@@ -722,14 +722,30 @@ def q_similarity_graph_links(spark, sf_dir):
 def q_graph_components(spark, sf_dir):
     """Near-duplicate clusters: MinHash-LSH candidate pairs as an edge
     list → distributed connected components (reference derives clusters
-    with driver-side NetworkX, gradoop/reader.py:21-137)."""
-    from odibel_spark.operators.graph import connected_components
+    with driver-side NetworkX, gradoop/reader.py:21-137). BOTH
+    distributed algorithms run under their own ``algo`` tag — label
+    propagation (O(diameter) rounds) and alternating large/small-star
+    (Kiveris et al., O(log n) rounds, the long-chain scale path) — so
+    each is independently value-pinned against the recursive-CTE
+    oracle (they converge to the same min-vertex labeling)."""
+    from odibel_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
 
     d = _t(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_candidates(d, "doc_id", "text", n=2, k=8, bands=4)
-    return connected_components(pairs, "id_a", "id_b").select(
-        F.col("vertex").cast("long").alias("vertex"),
-        F.col("component").cast("long").alias("component"),
+    pairs = pairs.localCheckpoint()  # both algorithms iterate over the same edges
+
+    def labeled(algo, fn):
+        return fn(pairs, "id_a", "id_b").select(
+            F.lit(algo).alias("algo"),
+            F.col("vertex").cast("long").alias("vertex"),
+            F.col("component").cast("long").alias("component"),
+        )
+
+    return labeled("label_prop", connected_components).unionByName(
+        labeled("star", connected_components_star)
     )
 
 
@@ -2006,9 +2022,14 @@ reach(v, r) AS (
     SELECT DISTINCT a, a FROM edges
     UNION
     SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v
+),
+labels AS (
+    SELECT CAST(v AS BIGINT) AS vertex, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY v
 )
-SELECT CAST(v AS BIGINT) AS vertex, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY v
+SELECT 'label_prop' AS algo, vertex, component FROM labels
+UNION ALL
+SELECT 'star', vertex, component FROM labels
 """
 
     # reification model: 8 triples per temporal window; min/max object

@@ -369,3 +369,41 @@ def test_registry_fully_oracle_covered():
         f"orphan oracles: {sorted(set(osql) - set(qs))}"
     )
     assert len(qs) <= 50, f"registry has {len(qs)} entries; the driver gate checks 50"
+
+
+def test_kmeans_train_is_partitioning_invariant(spark):
+    """The determinism contract of functions/kmeans.py: centers are
+    EXACTLY equal (bit-for-bit, not approximately) regardless of input
+    partitioning, because centroid updates sum integer quanta (exact,
+    order-free) and every float op is a fixed-order IEEE expression.
+    Also pins the empty-cluster rule (keep the previous center)."""
+    from odibel_spark.functions.kmeans import kmeans_assign, kmeans_train
+
+    import pyspark.sql.functions as SF
+
+    emb = spark.range(60).select(
+        SF.col("id").alias("vec_id"),
+        SF.array(
+            (SF.col("id") % 7).cast("double"),
+            (SF.col("id") % 3).cast("double") * 0.125,
+            SF.lit(1.0) / (SF.col("id") + 1),
+        ).alias("embedding"),
+    )
+    c1 = kmeans_train(emb, "vec_id", "embedding", k=3, iters=2)
+    c2 = kmeans_train(emb.repartition(13), "vec_id", "embedding", k=3, iters=2)
+    assert c1 == c2  # exact float equality, on purpose
+    a1 = sorted(map(tuple, kmeans_assign(emb, c1, "vec_id", "embedding")
+                    .select("vec_id", "cluster").collect()))
+    a2 = sorted(map(tuple, kmeans_assign(emb.repartition(7), c2, "vec_id", "embedding")
+                    .select("vec_id", "cluster").collect()))
+    assert a1 == a2
+    assert len({c for _, c in a1}) > 1  # the fixture genuinely separates
+
+    # empty-cluster rule: k larger than the number of distinct points —
+    # clusters that lose all points keep their previous centers
+    tiny = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    c3 = kmeans_train(tiny, "vec_id", "embedding", k=3, iters=2)
+    assert len(c3) == 3 and all(len(c) == 2 for c in c3)
