@@ -22,6 +22,9 @@ production throughput).
 
 from __future__ import annotations
 
+import itertools
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -46,7 +49,7 @@ LSH_CAP_METRIC = "lsh_bucket_cap"
 #: stages composed into ONE query (e.g. MinHash ∪ embedding LSH) would
 #: otherwise both observe under the constant name and Spark rejects
 #: duplicate observed-metric names with AnalysisException.
-_OBS_COUNTER = __import__("itertools").count()
+_OBS_COUNTER = itertools.count()
 
 #: Cached intermediates from the most recent dedup pipeline assembly.
 #: Long-lived sessions invoke these pipelines repeatedly; each new
@@ -60,7 +63,7 @@ _OBS_COUNTER = __import__("itertools").count()
 #: loses its cache acceleration. The registry is lock-guarded so
 #: concurrent assemblies from different threads can't corrupt it.
 _ACTIVE_CACHES: list[DataFrame] = []
-_CACHE_LOCK = __import__("threading").Lock()
+_CACHE_LOCK = threading.Lock()
 
 
 def clear_dedup_caches() -> None:

@@ -79,12 +79,19 @@ def kmeans_train(
 ) -> list[list[float]]:
     """Run ``iters`` Lloyd iterations; returns the trained centers as
     plain Python lists (doubles). Driver-side collects per iteration
-    are k seed rows and k*dim integer sums — never data rows."""
+    are k seed rows and k*dim integer sums — never data rows. With
+    fewer than ``k`` input rows the model has one center per row
+    (matching the SQL replay); an empty input raises ValueError."""
     q = emb.select(F.col(id_col).alias("_id"), _quantize(F.col(vec_col), scale).alias("_qv"))
     seed_rows = (
         q.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id")).limit(k).collect()
     )
     centers = [[qi / float(scale) for qi in r["_qv"]] for r in seed_rows]
+    if not centers:
+        raise ValueError("kmeans_train requires at least one input row")
+    # fewer rows than k: train one center per row — the same outcome
+    # the SQL replay produces (its seed CTE simply yields fewer rows)
+    k = len(centers)
     for _ in range(iters):
         assigned = q.select(_assign_expr(F.col("_qv"), centers, scale).alias("_c"), "_qv")
         sums = (

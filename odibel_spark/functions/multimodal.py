@@ -100,6 +100,13 @@ def _decode_real(blob: bytes, media_type: str):
                 "decode='real' for video requires av (PyAV) — not installed; "
                 "use decode='fake' for codec-free plumbing"
             ) from None
+        try:
+            import PIL  # noqa: F401 — frame.to_image() needs Pillow at runtime
+        except ImportError:
+            raise NotImplementedError(
+                "decode='real' for video requires PIL (pillow) for frame "
+                "conversion — not installed; use decode='fake'"
+            ) from None
         with av.open(io.BytesIO(bytes(blob))) as container:
             frames = []
             for frame in container.decode(video=0):
@@ -177,11 +184,15 @@ def extract_media_features(
             size = int(
                 narrowed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
-            want = max(1, -(-size // target_bytes_per_partition))
+            # stats-less plans (RDD-backed, some views) report
+            # defaultSizeInBytes = Long.MaxValue — that is "unknown",
+            # not "huge"; re-spreading on it would ask for ~1.4e11
+            # partitions (and overflow repartition's int argument)
+            want = None if size >= 2**60 else max(1, -(-size // target_bytes_per_partition))
         except Exception:
             want = None
         have = _estimated_scan_partitions(narrowed)
-        if want is not None and have is not None and want > have:
+        if want is not None and have is not None and have < want <= 2**31 - 1:
             narrowed = narrowed.repartition(want)
     return narrowed.mapInPandas(op, schema=FEATURE_SCHEMA)
 

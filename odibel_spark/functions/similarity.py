@@ -84,6 +84,11 @@ def ivf_top_k_trained(
             dot += ci * qi
             nc += ci * ci
             nq += qi * qi
+        if nc == 0.0 or nq == 0.0:
+            # a zero-norm center (all-zero cluster) has no direction:
+            # rank it last instead of dividing by zero — the SQL oracle
+            # applies the same CASE guard so the probe order matches
+            return float("-inf")
         return dot / (math.sqrt(nc) * math.sqrt(nq))
 
     ranked = sorted(range(len(centers)), key=lambda j: (-cos(centers[j]), j))

@@ -377,6 +377,8 @@ def test_kmeans_train_is_partitioning_invariant(spark):
     partitioning, because centroid updates sum integer quanta (exact,
     order-free) and every float op is a fixed-order IEEE expression.
     Also pins the empty-cluster rule (keep the previous center)."""
+    from pytest import raises as _pytest_raises
+
     from odibel_spark.functions.kmeans import kmeans_assign, kmeans_train
 
     import pyspark.sql.functions as SF
@@ -407,3 +409,10 @@ def test_kmeans_train_is_partitioning_invariant(spark):
     )
     c3 = kmeans_train(tiny, "vec_id", "embedding", k=3, iters=2)
     assert len(c3) == 3 and all(len(c) == 2 for c in c3)
+
+    # k beyond the row count trains one center per row (the SQL replay
+    # yields the same); empty input refuses loudly
+    c4 = kmeans_train(tiny, "vec_id", "embedding", k=10, iters=1)
+    assert len(c4) == 3
+    with _pytest_raises(ValueError):
+        kmeans_train(tiny.filter("vec_id < 0"), "vec_id", "embedding", k=2, iters=1)

@@ -253,3 +253,15 @@ def test_media_features_respect_byte_budget(spark):
     assert "Exchange" in tree, "over-budget blobs must repartition before mapInPandas"
     under = plan(extract_media_features(media, "doc_id", target_bytes_per_partition=None))
     assert "Exchange" not in under.split("\n\n")[0]
+
+
+def test_media_features_tolerate_statless_plans(spark):
+    """RDD-backed inputs report sizeInBytes = Long.MaxValue ("unknown",
+    not "huge"); the byte-budget re-spread must skip them instead of
+    asking for ~1.4e11 partitions (which overflows repartition)."""
+    from odibel_spark.functions.multimodal import extract_media_features
+
+    rows = [(i, bytes([i % 251] * 64)) for i in range(10)]
+    rdd_df = spark.sparkContext.parallelize(rows).toDF(["doc_id", "media"])
+    out = extract_media_features(rdd_df, "doc_id").collect()
+    assert len(out) == 10 and all(r.n_bytes == 64 for r in out)

@@ -15,6 +15,7 @@ noise-robust statistic on a contended host), all cells recorded.
 Usage:
     python tools/ab_bench.py trigger_posture [--events 1000000] [--reps 3]
     python tools/ab_bench.py lsh_mass_dup    [--copies 20000] [--reps 3]
+    python tools/ab_bench.py lsh_clean_corpus [--docs 20000] [--reps 3]
 """
 
 from __future__ import annotations
@@ -221,7 +222,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus"])
     ap.add_argument("--events", type=int, default=1_000_000)
-    ap.add_argument("--copies", type=int, default=20_000)
+    ap.add_argument("--copies", type=int, default=20_000,
+                    help="lsh_mass_dup: total documents (50 distinct contents)")
+    ap.add_argument("--docs", type=int, default=20_000,
+                    help="lsh_clean_corpus: all-distinct document count")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -232,7 +236,7 @@ def main() -> int:
     if args.which == "trigger_posture":
         ab_trigger_posture(spark, args.events, args.reps)
     elif args.which == "lsh_clean_corpus":
-        ab_lsh_clean_corpus(spark, args.copies, args.reps)
+        ab_lsh_clean_corpus(spark, args.docs, args.reps)
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
