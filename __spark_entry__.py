@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import atexit
 import os
+import threading
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -443,20 +444,25 @@ _KMEANS_K, _KMEANS_ITERS, _KMEANS_SCALE, _EMB_DIM = 4, 2, 1000, 64
 
 
 _CENTER_MEMO: dict[str, list[list[float]]] = {}
+_CENTER_MEMO_LOCK = threading.Lock()
 
 
 def _trained_centers(spark, sf_dir):
     """Training is deterministic in (sf_dir, k, iters, scale), and two
     registry queries consume it — memoize per sf_dir so a driver sweep
-    pays the Lloyd collects once."""
-    if sf_dir not in _CENTER_MEMO:
-        from odibel_spark.functions.kmeans import kmeans_train
+    pays the Lloyd collects once. Lock-guarded (concurrent sweeps must
+    not both train); keyed on the PATH, so rewriting the parquet under
+    an sf_dir within one process serves stale centers — driver sweeps
+    never do that, but clear the memo if a test regenerates fixtures."""
+    with _CENTER_MEMO_LOCK:
+        if sf_dir not in _CENTER_MEMO:
+            from odibel_spark.functions.kmeans import kmeans_train
 
-        e = _t(spark, sf_dir, "embeddings")
-        _CENTER_MEMO[sf_dir] = kmeans_train(
-            e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS, scale=_KMEANS_SCALE
-        )
-    return _CENTER_MEMO[sf_dir]
+            e = _t(spark, sf_dir, "embeddings")
+            _CENTER_MEMO[sf_dir] = kmeans_train(
+                e, "vec_id", "embedding", k=_KMEANS_K, iters=_KMEANS_ITERS, scale=_KMEANS_SCALE
+            )
+        return _CENTER_MEMO[sf_dir]
 
 
 def q_kmeans_assign(spark, sf_dir):
@@ -1630,6 +1636,11 @@ WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         "list_dot_product(e.embedding::DOUBLE[], q.qv) / "
         "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * sqrt(list_dot_product(q.qv, q.qv)))"
     )
+    # probe cosine chains generated from _EMB_DIM — the same
+    # left-associative op order as the Python driver-side probe
+    _pdot = " + ".join(f"c.cen[{i}]*q.qv[{i}]" for i in range(1, _EMB_DIM + 1))
+    _pnc = " + ".join(f"c.cen[{i}]*c.cen[{i}]" for i in range(1, _EMB_DIM + 1))
+    _pnq = " + ".join(f"q.qv[{i}]*q.qv[{i}]" for i in range(1, _EMB_DIM + 1))
     # three methods under one entry, each tagged — mirrors q_sim_topk
     sql["sim_topk"] = f"""
 SELECT 'exact' AS method, vec_id, cosine FROM (WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
@@ -1667,8 +1678,8 @@ q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {_QUERY_VE
 -- including the zero-norm guard (rank last, never divide by zero)
 probe AS (
     SELECT cluster FROM c{_KMEANS_ITERS} c, q
-    ORDER BY CASE WHEN (c.cen[1]*c.cen[1] + c.cen[2]*c.cen[2] + c.cen[3]*c.cen[3] + c.cen[4]*c.cen[4] + c.cen[5]*c.cen[5] + c.cen[6]*c.cen[6] + c.cen[7]*c.cen[7] + c.cen[8]*c.cen[8] + c.cen[9]*c.cen[9] + c.cen[10]*c.cen[10] + c.cen[11]*c.cen[11] + c.cen[12]*c.cen[12] + c.cen[13]*c.cen[13] + c.cen[14]*c.cen[14] + c.cen[15]*c.cen[15] + c.cen[16]*c.cen[16] + c.cen[17]*c.cen[17] + c.cen[18]*c.cen[18] + c.cen[19]*c.cen[19] + c.cen[20]*c.cen[20] + c.cen[21]*c.cen[21] + c.cen[22]*c.cen[22] + c.cen[23]*c.cen[23] + c.cen[24]*c.cen[24] + c.cen[25]*c.cen[25] + c.cen[26]*c.cen[26] + c.cen[27]*c.cen[27] + c.cen[28]*c.cen[28] + c.cen[29]*c.cen[29] + c.cen[30]*c.cen[30] + c.cen[31]*c.cen[31] + c.cen[32]*c.cen[32] + c.cen[33]*c.cen[33] + c.cen[34]*c.cen[34] + c.cen[35]*c.cen[35] + c.cen[36]*c.cen[36] + c.cen[37]*c.cen[37] + c.cen[38]*c.cen[38] + c.cen[39]*c.cen[39] + c.cen[40]*c.cen[40] + c.cen[41]*c.cen[41] + c.cen[42]*c.cen[42] + c.cen[43]*c.cen[43] + c.cen[44]*c.cen[44] + c.cen[45]*c.cen[45] + c.cen[46]*c.cen[46] + c.cen[47]*c.cen[47] + c.cen[48]*c.cen[48] + c.cen[49]*c.cen[49] + c.cen[50]*c.cen[50] + c.cen[51]*c.cen[51] + c.cen[52]*c.cen[52] + c.cen[53]*c.cen[53] + c.cen[54]*c.cen[54] + c.cen[55]*c.cen[55] + c.cen[56]*c.cen[56] + c.cen[57]*c.cen[57] + c.cen[58]*c.cen[58] + c.cen[59]*c.cen[59] + c.cen[60]*c.cen[60] + c.cen[61]*c.cen[61] + c.cen[62]*c.cen[62] + c.cen[63]*c.cen[63] + c.cen[64]*c.cen[64]) = 0 OR (q.qv[1]*q.qv[1] + q.qv[2]*q.qv[2] + q.qv[3]*q.qv[3] + q.qv[4]*q.qv[4] + q.qv[5]*q.qv[5] + q.qv[6]*q.qv[6] + q.qv[7]*q.qv[7] + q.qv[8]*q.qv[8] + q.qv[9]*q.qv[9] + q.qv[10]*q.qv[10] + q.qv[11]*q.qv[11] + q.qv[12]*q.qv[12] + q.qv[13]*q.qv[13] + q.qv[14]*q.qv[14] + q.qv[15]*q.qv[15] + q.qv[16]*q.qv[16] + q.qv[17]*q.qv[17] + q.qv[18]*q.qv[18] + q.qv[19]*q.qv[19] + q.qv[20]*q.qv[20] + q.qv[21]*q.qv[21] + q.qv[22]*q.qv[22] + q.qv[23]*q.qv[23] + q.qv[24]*q.qv[24] + q.qv[25]*q.qv[25] + q.qv[26]*q.qv[26] + q.qv[27]*q.qv[27] + q.qv[28]*q.qv[28] + q.qv[29]*q.qv[29] + q.qv[30]*q.qv[30] + q.qv[31]*q.qv[31] + q.qv[32]*q.qv[32] + q.qv[33]*q.qv[33] + q.qv[34]*q.qv[34] + q.qv[35]*q.qv[35] + q.qv[36]*q.qv[36] + q.qv[37]*q.qv[37] + q.qv[38]*q.qv[38] + q.qv[39]*q.qv[39] + q.qv[40]*q.qv[40] + q.qv[41]*q.qv[41] + q.qv[42]*q.qv[42] + q.qv[43]*q.qv[43] + q.qv[44]*q.qv[44] + q.qv[45]*q.qv[45] + q.qv[46]*q.qv[46] + q.qv[47]*q.qv[47] + q.qv[48]*q.qv[48] + q.qv[49]*q.qv[49] + q.qv[50]*q.qv[50] + q.qv[51]*q.qv[51] + q.qv[52]*q.qv[52] + q.qv[53]*q.qv[53] + q.qv[54]*q.qv[54] + q.qv[55]*q.qv[55] + q.qv[56]*q.qv[56] + q.qv[57]*q.qv[57] + q.qv[58]*q.qv[58] + q.qv[59]*q.qv[59] + q.qv[60]*q.qv[60] + q.qv[61]*q.qv[61] + q.qv[62]*q.qv[62] + q.qv[63]*q.qv[63] + q.qv[64]*q.qv[64]) = 0 THEN CAST('-infinity' AS DOUBLE)
-             ELSE (c.cen[1]*q.qv[1] + c.cen[2]*q.qv[2] + c.cen[3]*q.qv[3] + c.cen[4]*q.qv[4] + c.cen[5]*q.qv[5] + c.cen[6]*q.qv[6] + c.cen[7]*q.qv[7] + c.cen[8]*q.qv[8] + c.cen[9]*q.qv[9] + c.cen[10]*q.qv[10] + c.cen[11]*q.qv[11] + c.cen[12]*q.qv[12] + c.cen[13]*q.qv[13] + c.cen[14]*q.qv[14] + c.cen[15]*q.qv[15] + c.cen[16]*q.qv[16] + c.cen[17]*q.qv[17] + c.cen[18]*q.qv[18] + c.cen[19]*q.qv[19] + c.cen[20]*q.qv[20] + c.cen[21]*q.qv[21] + c.cen[22]*q.qv[22] + c.cen[23]*q.qv[23] + c.cen[24]*q.qv[24] + c.cen[25]*q.qv[25] + c.cen[26]*q.qv[26] + c.cen[27]*q.qv[27] + c.cen[28]*q.qv[28] + c.cen[29]*q.qv[29] + c.cen[30]*q.qv[30] + c.cen[31]*q.qv[31] + c.cen[32]*q.qv[32] + c.cen[33]*q.qv[33] + c.cen[34]*q.qv[34] + c.cen[35]*q.qv[35] + c.cen[36]*q.qv[36] + c.cen[37]*q.qv[37] + c.cen[38]*q.qv[38] + c.cen[39]*q.qv[39] + c.cen[40]*q.qv[40] + c.cen[41]*q.qv[41] + c.cen[42]*q.qv[42] + c.cen[43]*q.qv[43] + c.cen[44]*q.qv[44] + c.cen[45]*q.qv[45] + c.cen[46]*q.qv[46] + c.cen[47]*q.qv[47] + c.cen[48]*q.qv[48] + c.cen[49]*q.qv[49] + c.cen[50]*q.qv[50] + c.cen[51]*q.qv[51] + c.cen[52]*q.qv[52] + c.cen[53]*q.qv[53] + c.cen[54]*q.qv[54] + c.cen[55]*q.qv[55] + c.cen[56]*q.qv[56] + c.cen[57]*q.qv[57] + c.cen[58]*q.qv[58] + c.cen[59]*q.qv[59] + c.cen[60]*q.qv[60] + c.cen[61]*q.qv[61] + c.cen[62]*q.qv[62] + c.cen[63]*q.qv[63] + c.cen[64]*q.qv[64]) / (sqrt(c.cen[1]*c.cen[1] + c.cen[2]*c.cen[2] + c.cen[3]*c.cen[3] + c.cen[4]*c.cen[4] + c.cen[5]*c.cen[5] + c.cen[6]*c.cen[6] + c.cen[7]*c.cen[7] + c.cen[8]*c.cen[8] + c.cen[9]*c.cen[9] + c.cen[10]*c.cen[10] + c.cen[11]*c.cen[11] + c.cen[12]*c.cen[12] + c.cen[13]*c.cen[13] + c.cen[14]*c.cen[14] + c.cen[15]*c.cen[15] + c.cen[16]*c.cen[16] + c.cen[17]*c.cen[17] + c.cen[18]*c.cen[18] + c.cen[19]*c.cen[19] + c.cen[20]*c.cen[20] + c.cen[21]*c.cen[21] + c.cen[22]*c.cen[22] + c.cen[23]*c.cen[23] + c.cen[24]*c.cen[24] + c.cen[25]*c.cen[25] + c.cen[26]*c.cen[26] + c.cen[27]*c.cen[27] + c.cen[28]*c.cen[28] + c.cen[29]*c.cen[29] + c.cen[30]*c.cen[30] + c.cen[31]*c.cen[31] + c.cen[32]*c.cen[32] + c.cen[33]*c.cen[33] + c.cen[34]*c.cen[34] + c.cen[35]*c.cen[35] + c.cen[36]*c.cen[36] + c.cen[37]*c.cen[37] + c.cen[38]*c.cen[38] + c.cen[39]*c.cen[39] + c.cen[40]*c.cen[40] + c.cen[41]*c.cen[41] + c.cen[42]*c.cen[42] + c.cen[43]*c.cen[43] + c.cen[44]*c.cen[44] + c.cen[45]*c.cen[45] + c.cen[46]*c.cen[46] + c.cen[47]*c.cen[47] + c.cen[48]*c.cen[48] + c.cen[49]*c.cen[49] + c.cen[50]*c.cen[50] + c.cen[51]*c.cen[51] + c.cen[52]*c.cen[52] + c.cen[53]*c.cen[53] + c.cen[54]*c.cen[54] + c.cen[55]*c.cen[55] + c.cen[56]*c.cen[56] + c.cen[57]*c.cen[57] + c.cen[58]*c.cen[58] + c.cen[59]*c.cen[59] + c.cen[60]*c.cen[60] + c.cen[61]*c.cen[61] + c.cen[62]*c.cen[62] + c.cen[63]*c.cen[63] + c.cen[64]*c.cen[64]) * sqrt(q.qv[1]*q.qv[1] + q.qv[2]*q.qv[2] + q.qv[3]*q.qv[3] + q.qv[4]*q.qv[4] + q.qv[5]*q.qv[5] + q.qv[6]*q.qv[6] + q.qv[7]*q.qv[7] + q.qv[8]*q.qv[8] + q.qv[9]*q.qv[9] + q.qv[10]*q.qv[10] + q.qv[11]*q.qv[11] + q.qv[12]*q.qv[12] + q.qv[13]*q.qv[13] + q.qv[14]*q.qv[14] + q.qv[15]*q.qv[15] + q.qv[16]*q.qv[16] + q.qv[17]*q.qv[17] + q.qv[18]*q.qv[18] + q.qv[19]*q.qv[19] + q.qv[20]*q.qv[20] + q.qv[21]*q.qv[21] + q.qv[22]*q.qv[22] + q.qv[23]*q.qv[23] + q.qv[24]*q.qv[24] + q.qv[25]*q.qv[25] + q.qv[26]*q.qv[26] + q.qv[27]*q.qv[27] + q.qv[28]*q.qv[28] + q.qv[29]*q.qv[29] + q.qv[30]*q.qv[30] + q.qv[31]*q.qv[31] + q.qv[32]*q.qv[32] + q.qv[33]*q.qv[33] + q.qv[34]*q.qv[34] + q.qv[35]*q.qv[35] + q.qv[36]*q.qv[36] + q.qv[37]*q.qv[37] + q.qv[38]*q.qv[38] + q.qv[39]*q.qv[39] + q.qv[40]*q.qv[40] + q.qv[41]*q.qv[41] + q.qv[42]*q.qv[42] + q.qv[43]*q.qv[43] + q.qv[44]*q.qv[44] + q.qv[45]*q.qv[45] + q.qv[46]*q.qv[46] + q.qv[47]*q.qv[47] + q.qv[48]*q.qv[48] + q.qv[49]*q.qv[49] + q.qv[50]*q.qv[50] + q.qv[51]*q.qv[51] + q.qv[52]*q.qv[52] + q.qv[53]*q.qv[53] + q.qv[54]*q.qv[54] + q.qv[55]*q.qv[55] + q.qv[56]*q.qv[56] + q.qv[57]*q.qv[57] + q.qv[58]*q.qv[58] + q.qv[59]*q.qv[59] + q.qv[60]*q.qv[60] + q.qv[61]*q.qv[61] + q.qv[62]*q.qv[62] + q.qv[63]*q.qv[63] + q.qv[64]*q.qv[64])) END DESC, cluster
+    ORDER BY CASE WHEN ({_pnc}) = 0 OR ({_pnq}) = 0 THEN CAST('-infinity' AS DOUBLE)
+             ELSE ({_pdot}) / (sqrt({_pnc}) * sqrt({_pnq})) END DESC, cluster
     LIMIT 2
 )
 SELECT e.vec_id, round({_cos_q}, 6) AS cosine

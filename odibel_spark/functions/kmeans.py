@@ -82,6 +82,8 @@ def kmeans_train(
     are k seed rows and k*dim integer sums — never data rows. With
     fewer than ``k`` input rows the model has one center per row
     (matching the SQL replay); an empty input raises ValueError."""
+    if k < 1:
+        raise ValueError(f"kmeans_train requires k >= 1, got {k}")
     q = emb.select(F.col(id_col).alias("_id"), _quantize(F.col(vec_col), scale).alias("_qv"))
     seed_rows = (
         q.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id")).limit(k).collect()

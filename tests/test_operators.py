@@ -377,8 +377,6 @@ def test_kmeans_train_is_partitioning_invariant(spark):
     partitioning, because centroid updates sum integer quanta (exact,
     order-free) and every float op is a fixed-order IEEE expression.
     Also pins the empty-cluster rule (keep the previous center)."""
-    from pytest import raises as _pytest_raises
-
     from odibel_spark.functions.kmeans import kmeans_assign, kmeans_train
 
     import pyspark.sql.functions as SF
@@ -414,5 +412,5 @@ def test_kmeans_train_is_partitioning_invariant(spark):
     # yields the same); empty input refuses loudly
     c4 = kmeans_train(tiny, "vec_id", "embedding", k=10, iters=1)
     assert len(c4) == 3
-    with _pytest_raises(ValueError):
+    with pytest.raises(ValueError):
         kmeans_train(tiny.filter("vec_id < 0"), "vec_id", "embedding", k=2, iters=1)
