@@ -414,3 +414,19 @@ def test_kmeans_train_is_partitioning_invariant(spark):
     assert len(c4) == 3
     with pytest.raises(ValueError):
         kmeans_train(tiny.filter("vec_id < 0"), "vec_id", "embedding", k=2, iters=1)
+
+
+def test_ivf_trained_probe_tolerates_zero_norm_centers(spark):
+    """A cluster trained entirely on zero vectors yields a zero-norm
+    center; the probe must rank it last (never divide by zero) and
+    still return the true top-k from the probed clusters."""
+    from odibel_spark.functions.similarity import ivf_top_k_trained
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, cluster int",
+    )
+    centers = [[0.95, 0.05], [0.0, 0.0]]
+    out = ivf_top_k_trained(emb, centers, [1.0, 0.0], "vec_id", "embedding", k=2, nprobe=1)
+    got = [r.vec_id for r in out.collect()]
+    assert got == [1, 2]  # zero-norm cluster ranked last, never probed
