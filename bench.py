@@ -143,11 +143,14 @@ def main() -> None:
         batch_s = time.time() - t0
         queries["cdc_replay_batch"] = round(batch_s, 3)
 
-        # One big micro-batch (maxFilesPerTrigger = all WAL segments):
-        # for a fixed replay the per-epoch fixed costs (stream planning,
-        # state-store init, manifest IO) are pure overhead, so the
-        # tuned trigger size IS the whole backlog. Per-epoch cadence
-        # behaviour is measured separately by tools/scaling_bench.py.
+        # One big micro-batch (no trigger limit): for a fixed replay
+        # the per-epoch fixed costs (stream planning, state-store init,
+        # manifest IO) are pure overhead, so the tuned trigger size IS
+        # the whole backlog. maxFilesPerTrigger=n_files was an off-by-
+        # one here: the WAL generator's schema-evolution segment adds a
+        # 17th physical file, spilling one chunk into a second data
+        # epoch (~2s of pure epoch overhead on this box). Per-epoch
+        # cadence behaviour is measured by tools/scaling_bench.py.
         t0 = time.time()
         p = TranscriptCdcPipeline(
             spark,
@@ -156,7 +159,7 @@ def main() -> None:
                 table_root=os.path.join(base, "transcripts"),
                 checkpoint_dir=os.path.join(base, "ckpt"),
                 buckets=CPUS,
-                max_files_per_trigger=n_files,
+                max_files_per_trigger=None,
             ),
         )
         p.run_available()
@@ -183,7 +186,7 @@ def main() -> None:
                     checkpoint_dir=os.path.join(base, f"ckpt_mor_{rep}"),
                     buckets=CPUS,
                     merge_mode="mor",
-                    max_files_per_trigger=n_files,
+                    max_files_per_trigger=None,
                 ),
             )
             pm.run_available()
@@ -214,11 +217,12 @@ def main() -> None:
         "cdc_pipeline_mor_rep_secs": mor_reps,
         "cpus": CPUS,
         # trigger posture, so the headline's one-batch configuration is
-        # self-describing: the WAL's n_files segments are replayed in a
-        # single micro-batch (maxFilesPerTrigger = n_files ⇒ 1 epoch).
-        # Per-epoch cadence behaviour is tools/scaling_bench.py's job.
+        # self-describing: the whole WAL backlog is replayed in a
+        # single data micro-batch (no trigger limit ⇒ 1 data epoch +
+        # the trailing watermark-advance epoch). Per-epoch cadence
+        # behaviour is tools/scaling_bench.py's job.
         "cdc_wal_files": n_files,
-        "cdc_max_files_per_trigger": n_files,
+        "cdc_max_files_per_trigger": None,
         "cdc_n_epochs": 1,
         # host speed reference: single-core M iters/s at bench time.
         # The shared sandbox host swings several-fold between sessions
