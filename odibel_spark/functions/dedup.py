@@ -143,20 +143,34 @@ def word_shingles(
     if width is not None and width < target:
         docs = docs.repartition(target, F.col(id_col))
     return (
-        docs.select(F.col(id_col), F.explode(_shingle_array(F.col(text_col), n)).alias("shingle"))
+        docs.select(F.col(id_col), _split_words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), F.explode(_shingles_from_words(F.col("_w"), n)).alias("shingle"))
         .filter(F.length("shingle") > 0)
         .distinct()
     )
 
 
-def _shingle_array(text_col: F.Column, n: int) -> F.Column:
-    """Word n-gram shingle array of one document — the partition-local
-    core of :func:`word_shingles` (may contain duplicates and the empty
-    string; wrap in array_distinct + a length filter for the distinct
-    set without any shuffle)."""
-    toks = F.split(normalized_text(text_col), r"\s+")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+def _split_words(text_col: F.Column) -> F.Column:
+    """Normalize + tokenize one document — the expensive (regex + split)
+    half of shingling. MUST be materialized as its own projection before
+    any per-element lambda touches it: referenced from inside a
+    ``transform`` lambda, Catalyst re-evaluates a non-attribute input
+    expression once per array ELEMENT, turning an O(len) tokenize into
+    O(len²) per document (measured ~10× on the whole shingle stage).
+    CollapseProject keeps the split in its own projection because the
+    alias is non-cheap and multiply-referenced."""
+    return F.split(normalized_text(text_col), r"\s+")
+
+
+def _shingles_from_words(words_col: F.Column, n: int) -> F.Column:
+    """Word n-gram shingle array from a MATERIALIZED words-array column
+    (attribute references are O(1) per lambda call — pass the output of
+    ``_split_words`` through its own ``select`` first, never the raw
+    expression). May contain duplicates and the empty string; wrap in
+    array_distinct + a length filter for the distinct set without any
+    shuffle."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words_col) - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words_col, i, n)))
 
 
 def ngram_jaccard_pairs(
@@ -548,15 +562,18 @@ def benchmark_contamination(
     contamination-sized, not corpus-sized. One corpus scan total
     (pinned by the plan assertion in tests/test_dedup_skew.py)."""
     valid = F.filter(
-        F.array_distinct(_shingle_array(F.col(doc_text), n)),
+        F.array_distinct(_shingles_from_words(F.col("_w"), n)),
         lambda sh: F.length(sh) > 0,
     )
-    # materialize the array in its own projection BEFORE size/explode:
-    # referencing the expression twice would re-evaluate the whole
-    # O(doc-length) array build once per EXPLODED ROW (ExtractGenerator
-    # keeps the generator input above the project), turning the scan
-    # quadratic per document
-    d_sh = docs.select(F.col(doc_id), valid.alias("_sh")).select(
+    # two-stage materialization: the words array FIRST (so the regex +
+    # split tokenize runs once per row, not once per transform element
+    # — see _split_words), then the shingle array in its own projection
+    # BEFORE size/explode: referencing the expression twice would
+    # re-evaluate the whole O(doc-length) array build once per EXPLODED
+    # ROW (ExtractGenerator keeps the generator input above the
+    # project), turning the scan quadratic per document
+    d_w = docs.select(F.col(doc_id), _split_words(F.col(doc_text)).alias("_w"))
+    d_sh = d_w.select(F.col(doc_id), valid.alias("_sh")).select(
         F.col(doc_id),
         F.size("_sh").alias("doc_shingles"),
         F.explode("_sh").alias("shingle"),

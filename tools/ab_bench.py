@@ -218,15 +218,78 @@ def ab_lsh_clean_corpus(spark, docs_n: int, reps: int) -> None:
         docs.unpersist()
 
 
+def ab_shingle_tokenize(spark, docs_n: int, reps: int, words_n: int = 50) -> None:
+    """r4 shingle-stage rewrite: tokenizing INSIDE the transform lambda
+    re-evaluates the regex-normalize + split once per array ELEMENT
+    (Catalyst does not hoist non-attribute lambda captures), i.e.
+    O(words × doc_len) string work per document; materializing the
+    words array in its own projection first (_split_words) makes each
+    lambda call an O(1) attribute reference. Both arms produce the
+    identical distinct (id, shingle) set; the word count per doc (~50)
+    bounds the expected ratio."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions.dedup import _shingles_from_words, _split_words
+    from odibel_spark.functions.text import normalized_text
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_n)),
+        lambda j: F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), j.cast("string"))), 1, 6
+        ),
+    )
+    docs = (
+        spark.range(docs_n)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+        .repartition(16)
+    )
+    docs.cache().count()
+
+    def run_inline():  # pre-r4 shape: tokenize captured by the lambda
+        toks = F.split(normalized_text(F.col("text")), r"\s+")
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 3 + 1, F.lit(1)))
+        arr = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+        sh = (
+            docs.select(F.col("doc_id"), F.explode(arr).alias("shingle"))
+            .filter(F.length("shingle") > 0)
+            .distinct()
+        )
+        materialize(sh.agg(F.count("*").alias("n")))
+
+    def run_materialized():  # r4 shape: words array projected first
+        sh = (
+            docs.select(F.col("doc_id"), _split_words(F.col("text")).alias("_w"))
+            .select(F.col("doc_id"), F.explode(_shingles_from_words(F.col("_w"), 3)).alias("shingle"))
+            .filter(F.length("shingle") > 0)
+            .distinct()
+        )
+        materialize(sh.agg(F.count("*").alias("n")))
+
+    try:
+        run_ab(
+            f"shingle_tokenize_w{words_n}", spark,
+            {"inline_tokenize": run_inline, "materialized_words": run_materialized},
+            reps,
+            {"docs": docs_n, "words_per_doc": words_n,
+             "note": "distinct 3-gram shingle build, identical output both arms; "
+                     "speedup_b_vs_a = cost of re-tokenizing per transform element "
+                     "vs one materialized words projection per row"},
+        )
+    finally:
+        docs.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
     ap.add_argument("--docs", type=int, default=20_000,
                     help="lsh_clean_corpus: all-distinct document count")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--words", type=int, default=50,
+                    help="shingle_tokenize: words per synthetic document")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -237,6 +300,8 @@ def main() -> int:
         ab_trigger_posture(spark, args.events, args.reps)
     elif args.which == "lsh_clean_corpus":
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
+    elif args.which == "shingle_tokenize":
+        ab_shingle_tokenize(spark, args.docs, args.reps, args.words)
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
