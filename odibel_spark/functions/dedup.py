@@ -162,6 +162,21 @@ def _split_words(text_col: F.Column) -> F.Column:
     return F.split(normalized_text(text_col), r"\s+")
 
 
+def _explode_no_infer(arr_col: F.Column) -> F.Column:
+    """``explode`` of a bare attribute column triggers Catalyst's
+    InferFiltersFromGenerate: a ``size(col) > 0`` filter appears under
+    the Generate, and predicate pushdown then substitutes the alias
+    chain all the way to the scan — when the attribute aliases an
+    expensive array build (a shingle set), that re-inlines the whole
+    build, per-element tokenize included, into a per-row scan Filter
+    (measured ~10× on the decontamination corpus scan at sf0.1).
+    Wrapping the attribute in ``array_compact`` — a no-op on the
+    null-free arrays these operators build — makes the generator child
+    a non-attribute expression, which the rule (SPARK-36715's
+    expensive-expression restriction) declines to infer from."""
+    return F.explode(F.array_compact(arr_col))
+
+
 def _shingles_from_words(words_col: F.Column, n: int) -> F.Column:
     """Word n-gram shingle array from a MATERIALIZED words-array column
     (attribute references are O(1) per lambda call — pass the output of
@@ -573,10 +588,15 @@ def benchmark_contamination(
     # ROW (ExtractGenerator keeps the generator input above the
     # project), turning the scan quadratic per document
     d_w = docs.select(F.col(doc_id), _split_words(F.col(doc_text)).alias("_w"))
+    # explode via _explode_no_infer, NOT the bare attribute: exploding
+    # an attribute makes InferFiltersFromGenerate add size(_sh)>0 under
+    # the Generate, and predicate pushdown then substitutes the alias
+    # chain into the scan Filter — re-inlining the whole shingle build
+    # (with its per-element tokenize) once per corpus row
     d_sh = d_w.select(F.col(doc_id), valid.alias("_sh")).select(
         F.col(doc_id),
         F.size("_sh").alias("doc_shingles"),
-        F.explode("_sh").alias("shingle"),
+        _explode_no_infer(F.col("_sh")).alias("shingle"),
     )
     b_sh = F.broadcast(
         word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")

@@ -279,9 +279,83 @@ def ab_shingle_tokenize(spark, docs_n: int, reps: int, words_n: int = 50) -> Non
         docs.unpersist()
 
 
+def ab_infer_filter_pushdown(spark, docs_n: int, reps: int, words_n: int = 50) -> None:
+    """r4 decontamination fix #2: exploding the aliased shingle-array
+    ATTRIBUTE makes InferFiltersFromGenerate add size(arr)>0 under the
+    Generate, and predicate pushdown substitutes the alias chain into
+    the scan Filter — re-inlining the whole shingle build (per-element
+    tokenize included) once per corpus row. _explode_no_infer wraps the
+    attribute in array_compact so the rule declines to infer. Both arms
+    run the full benchmark_contamination shape on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions.dedup import (
+        _explode_no_infer,
+        _shingles_from_words,
+        _split_words,
+        word_shingles,
+    )
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_n)),
+        lambda j: F.substring(
+            F.md5(F.concat((F.col("id") % 499).cast("string"), F.lit("_"), j.cast("string"))), 1, 6
+        ),
+    )
+    docs = (
+        spark.range(docs_n)
+        .select(F.col("id").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+        .repartition(16)
+    )
+    docs.cache().count()
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("_bid"), "text"
+    )
+
+    def contamination(explode_shape) -> None:
+        valid = F.filter(
+            F.array_distinct(_shingles_from_words(F.col("_w"), 3)),
+            lambda sh: F.length(sh) > 0,
+        )
+        d_sh = (
+            corpus.select(F.col("doc_id"), _split_words(F.col("text")).alias("_w"))
+            .select(F.col("doc_id"), valid.alias("_sh"))
+            .select(
+                F.col("doc_id"),
+                F.size("_sh").alias("doc_shingles"),
+                explode_shape(F.col("_sh")).alias("shingle"),
+            )
+        )
+        b_sh = F.broadcast(word_shingles(bench, "_bid", "text", 3))
+        out = (
+            d_sh.join(b_sh, "shingle")
+            .groupBy("doc_id", "_bid")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= 3)
+        )
+        materialize(out.agg(F.count("*").alias("n")))
+
+    try:
+        run_ab(
+            "infer_filter_pushdown", spark,
+            {
+                "attr_explode": lambda: contamination(F.explode),
+                "no_infer_explode": lambda: contamination(_explode_no_infer),
+            },
+            reps,
+            {"docs": docs_n, "words_per_doc": words_n,
+             "note": "benchmark_contamination shape, identical output both arms; "
+                     "attr_explode lets InferFiltersFromGenerate re-inline the shingle "
+                     "build into the scan Filter, no_infer_explode suppresses it"},
+        )
+    finally:
+        docs.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -302,6 +376,8 @@ def main() -> int:
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
     elif args.which == "shingle_tokenize":
         ab_shingle_tokenize(spark, args.docs, args.reps, args.words)
+    elif args.which == "infer_filter_pushdown":
+        ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words)
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
