@@ -120,6 +120,17 @@ class PipelineConfig:
     #: exceeds 4x the mean — so hot-key storms pay no straggler and
     #: quiet streams pay no read amplification.
     write_salt: int | str = "auto"
+    #: state-store backend for the in-stream watermarked dedup:
+    #: "hdfs" (Spark's default HDFSBackedStateStoreProvider — keyed
+    #: state lives in executor HEAP, snapshotted to the checkpoint;
+    #: right while dedup state within the watermark fits in memory) or
+    #: "rocksdb" (RocksDBStateStoreProvider + changelog checkpointing —
+    #: state spills to executor-local disk and checkpoint commits ship
+    #: only the per-batch changelog, the posture for 10^10-event feeds
+    #: where (conv_id, turn_idx, lsn) dedup state outgrows heap).
+    #: The provider class is captured in the checkpoint's offset
+    #: metadata at first start, so a resumed stream keeps its backend.
+    state_store: str = "hdfs"
     extra: dict = field(default_factory=dict)
 
 
@@ -374,29 +385,55 @@ class TranscriptCdcPipeline:
             )
         return stream
 
+    def _state_store_conf(self):
+        """Session confs for cfg.state_store, applied around query
+        start (a streaming query captures SQLConf at start and pins
+        the provider into its checkpoint metadata; the session values
+        are restored afterwards so concurrent queries are unaffected)."""
+        if self.cfg.state_store == "hdfs":
+            return {}
+        if self.cfg.state_store != "rocksdb":
+            raise ValueError(f"state_store must be 'hdfs' or 'rocksdb', got {self.cfg.state_store!r}")
+        return {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            # commit = per-batch changelog upload, snapshot uploads
+            # amortized in the background — O(batch) checkpoint cost
+            # instead of O(state) per epoch
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        }
+
+    def _start_stream(self, trigger_available_now: bool):
+        table, wal_schema = self.ensure_tables()
+        stream = self._stream_reader(wal_schema)
+        writer = stream.writeStream.foreachBatch(self._apply_batch).option(
+            "checkpointLocation", self.cfg.checkpoint_dir
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        overrides = self._state_store_conf()
+        saved = {}
+        for k, v in overrides.items():
+            saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
+        try:
+            return writer.start()
+        finally:
+            for k, old in saved.items():
+                if old is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, old)
+
     def run_available(self) -> None:
         """Process everything currently in the WAL, then stop
         (Trigger.AvailableNow) — the batch-replay entry point used by
         tests and the bench; identical code path to continuous runs."""
-        table, wal_schema = self.ensure_tables()
-        stream = self._stream_reader(wal_schema)
-        q = (
-            stream.writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self.cfg.checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        self._start_stream(trigger_available_now=True).awaitTermination()
 
     def start(self):
         """Continuous tail (micro-batches as WAL files appear)."""
-        table, wal_schema = self.ensure_tables()
-        stream = self._stream_reader(wal_schema)
-        return (
-            stream.writeStream.foreachBatch(self._apply_batch)
-            .option("checkpointLocation", self.cfg.checkpoint_dir)
-            .start()
-        )
+        return self._start_stream(trigger_available_now=False)
 
     # ------------------------------------------------------- maintenance
     def maintenance(

@@ -310,3 +310,37 @@ def test_auto_salt_splits_hot_conversation_bucket(spark, tmpdir_path):
     assert t.read().count() == spark.createDataFrame(rows, schema).dropDuplicates(
         ["conv_id", "turn_idx"]
     ).count()
+
+
+def test_rocksdb_state_store_end_to_end(spark, wal_dir, tmpdir_path):
+    """state_store="rocksdb" swaps the watermarked-dedup keyed state to
+    RocksDBStateStoreProvider with changelog checkpointing — the
+    10^10-event posture where dedup state outgrows executor heap. Same
+    WAL, same oracle: the final table must be byte-identical to the
+    heap-backed run, the checkpoint must contain RocksDB changelog
+    artifacts (proof the provider was active), and the session conf
+    must be restored after start (no leakage into later queries)."""
+    before = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    p = run_pipeline(
+        spark, wal_dir, tmpdir_path, max_files_per_trigger=3, state_store="rocksdb"
+    )
+    assert spark.conf.get("spark.sql.streaming.stateStore.providerClass", None) == before
+
+    got = p.table().read()
+    exp = oracle_state(spark, CFG)
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+
+    state_dir = os.path.join(tmpdir_path, "ckpt", "state")
+    arts = [
+        name
+        for root, _dirs, names in os.walk(state_dir)
+        for name in names
+        if name.endswith((".changelog", ".zip"))
+    ]
+    assert arts, "no RocksDB changelog/snapshot artifacts under the checkpoint state dir"
+
+
+def test_state_store_rejects_unknown_backend(spark, wal_dir, tmpdir_path):
+    with pytest.raises(ValueError, match="state_store"):
+        run_pipeline(spark, wal_dir, tmpdir_path, state_store="leveldb")
