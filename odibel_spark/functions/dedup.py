@@ -368,7 +368,7 @@ def minhash_lsh_candidates(
     ``collapse`` is a PERFORMANCE knob — the pair set is identical
     either way as long as no bucket overflows ``max_bucket_size``.
     True costs one extra fingerprint shuffle of the corpus
-    plus two narrow re-expansion joins, and wins big (4× on the
+    plus two narrow re-expansion joins, and wins big (5.5× on the
     mass-dup A/B fixture, BENCH/ab_lsh_mass_dup.json) whenever exact
     duplicates are common, because duplicates skip the shingle/
     signature compute AND can't blow up bucket tasks. On a corpus KNOWN
