@@ -123,11 +123,19 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # ---- analytics headliners at SF_DIR ------------------------------
+    # Host-window markers: per-query times here are SINGLE-SHOT on a
+    # host whose multi-core capacity swings several-fold between
+    # minutes (BENCH/BASELINE.md variance appendix), so a burn sample
+    # before and after the phase records which window the phase ran in
+    # — compare cross-round per-query times only when the brackets of
+    # both rounds are comparable.
+    miters_fw_pre = cpu_reference_miters_fixedwork()
     qs = E.queries()
     for name in ANALYTICS:
         t0 = time.time()
         materialize(qs[name](spark, SF_DIR))
         queries[name] = round(time.time() - t0, 3)
+    miters_fw_mid = cpu_reference_miters_fixedwork()
 
     # ---- CDC replay throughput ---------------------------------------
     base = tempfile.mkdtemp(prefix="odibel-bench-")
@@ -241,6 +249,11 @@ def main() -> None:
         "value_per_cpu_miter_first_rep": round(N_EVENTS / mor_reps[0] / miters, 1),
         "cpu_ref_miters_fixedwork": round(miters_fw, 1),
         "value_per_cpu_miter_fixedwork": round(N_EVENTS / pipe_mor_s / miters_fw, 1),
+        # window brackets around the single-shot analytics phase (pre /
+        # post-analytics / end-of-run): per-query times are comparable
+        # across rounds only when these brackets are
+        "cpu_ref_miters_fixedwork_analytics_pre": round(miters_fw_pre, 1),
+        "cpu_ref_miters_fixedwork_analytics_post": round(miters_fw_mid, 1),
     }
     print(json.dumps(out))
     spark.stop()
