@@ -344,3 +344,27 @@ def test_rocksdb_state_store_end_to_end(spark, wal_dir, tmpdir_path):
 def test_state_store_rejects_unknown_backend(spark, wal_dir, tmpdir_path):
     with pytest.raises(ValueError, match="state_store"):
         run_pipeline(spark, wal_dir, tmpdir_path, state_store="leveldb")
+
+
+def test_rocksdb_crash_restart_exactly_once(spark, wal_dir, tmpdir_path):
+    """The north rule's resume clause under the RocksDB backend: crash
+    after the lake commit of epoch 1 (worst ordering — lake advanced,
+    checkpoint not), then restart. The restart must resume from the
+    RocksDB changelog checkpoint (the provider is pinned in the
+    checkpoint's offset metadata, so the resumed query keeps the
+    backend even though the session default is heap), fence the
+    replayed epoch, and converge byte-identically to the batch oracle."""
+    with pytest.raises(Exception):  # Spark wraps the injected RuntimeError
+        run_pipeline(
+            spark, wal_dir, tmpdir_path, max_files_per_trigger=2,
+            state_store="rocksdb", fail_after_commit_epoch=1,
+        )
+    p = run_pipeline(
+        spark, wal_dir, tmpdir_path, max_files_per_trigger=2, state_store="rocksdb"
+    )
+    exp = oracle_state(spark, CFG)
+    got = p.table().read()
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+    lin = p.lineage().filter(F.col("epoch") == 1)
+    assert lin.groupBy("bucket").count().filter("count > 1").count() == 0
