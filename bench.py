@@ -104,6 +104,23 @@ def cpu_reference_miters_fixedwork(target_seconds: float = 1.0, chunk: int = 2_0
     return total / 1e6 / (_t.perf_counter() - t0)
 
 
+def cpu_reference_miters_multicore(n_procs: int, per_proc_seconds: float = 1.0) -> float:
+    """Aggregate fixed-work Miters/s across ``n_procs`` concurrent
+    processes — the host's MULTI-core capacity at sample time. The
+    single-core kernels miss the dominant noise mode on this shared
+    host (neighbor steal of the other vCPUs: a run can show fast
+    single-core burns while a 32-thread Spark stage runs 3× slow), so
+    the MoR headline is additionally normalized by this, sampled right
+    after the headline reps in the same window."""
+    import multiprocessing as mp
+
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        rates = pool.map(
+            cpu_reference_miters_fixedwork, [per_proc_seconds] * n_procs
+        )
+    return sum(rates)
+
+
 def main() -> None:
     import __spark_entry__ as E
     from odibel_spark import get_spark
@@ -201,6 +218,8 @@ def main() -> None:
             mor_reps.append(round(time.time() - t0, 3))
         pipe_mor_s = min(mor_reps)
         queries["cdc_merge_pipeline_mor"] = pipe_mor_s
+        # multi-core capacity in the SAME window as the headline reps
+        miters_mc = cpu_reference_miters_multicore(CPUS)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -254,6 +273,12 @@ def main() -> None:
         # across rounds only when these brackets are
         "cpu_ref_miters_fixedwork_analytics_pre": round(miters_fw_pre, 1),
         "cpu_ref_miters_fixedwork_analytics_post": round(miters_fw_mid, 1),
+        # multi-core capacity sampled in the same window as the MoR
+        # headline reps — the normalizer matching the resource the
+        # 32-thread pipeline actually contends for (single-core burns
+        # can read fast while neighbor steal slows a wide stage 3×)
+        "cpu_ref_miters_multicore": round(miters_mc, 1),
+        "value_per_cpu_miter_multicore": round(N_EVENTS / pipe_mor_s / miters_mc, 1),
     }
     print(json.dumps(out))
     spark.stop()
