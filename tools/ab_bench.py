@@ -218,6 +218,53 @@ def ab_lsh_clean_corpus(spark, docs_n: int, reps: int) -> None:
         docs.unpersist()
 
 
+def ab_state_store(spark, events: int, reps: int) -> None:
+    """r4 state-store knob cost at bench scale: the full MoR pipeline
+    (in-stream watermarked dedup ON) with the default heap-backed
+    provider vs RocksDB + changelog checkpointing, identical WAL.
+    RocksDB pays JNI + disk-format overhead while state fits in heap —
+    this artifact quantifies that so the docs' 'switch when state
+    outgrows memory' guidance has a measured price tag."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline, WalConfig, write_wal_files
+
+    base = tempfile.mkdtemp(prefix="ab-statestore-")
+    cpus = spark.sparkContext.defaultParallelism
+    n_files = max(8, cpus // 2)
+    wal = write_wal_files(
+        spark, WalConfig(n_events=events, n_convs=max(events // 50, 100), seed=42),
+        os.path.join(base, "wal"), n_files=n_files,
+    )
+    seq = [0]
+
+    def run(backend: str) -> None:
+        seq[0] += 1
+        root = os.path.join(base, f"t{seq[0]}")
+        p = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal], table_root=os.path.join(root, "tbl"),
+                checkpoint_dir=os.path.join(root, "ckpt"), buckets=cpus,
+                merge_mode="mor", max_files_per_trigger=None, state_store=backend,
+            ),
+        )
+        p.run_available()
+        shutil.rmtree(root, ignore_errors=True)
+
+    try:
+        run_ab(
+            "state_store", spark,
+            {"hdfs_heap": lambda: run("hdfs"), "rocksdb": lambda: run("rocksdb")},
+            reps,
+            {"events": events, "wal_files": n_files,
+             "note": "full MoR pipeline incl. watermarked dedup, one-batch trigger, "
+                     "identical WAL; speedup_b_vs_a < 1 is the RocksDB overhead while "
+                     "state fits in heap — the backend's win case (state > memory) "
+                     "cannot manifest at this scale by construction"},
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def ab_shingle_tokenize(spark, docs_n: int, reps: int, words_n: int = 50) -> None:
     """r4 shingle-stage rewrite: tokenizing INSIDE the transform lambda
     re-evaluates the regex-normalize + split once per array ELEMENT
@@ -355,7 +402,7 @@ def ab_infer_filter_pushdown(spark, docs_n: int, reps: int, words_n: int = 50) -
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "state_store"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -378,6 +425,8 @@ def main() -> int:
         ab_shingle_tokenize(spark, args.docs, args.reps, args.words)
     elif args.which == "infer_filter_pushdown":
         ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words)
+    elif args.which == "state_store":
+        ab_state_store(spark, args.events, args.reps)
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
