@@ -16,6 +16,9 @@ Usage:
     python tools/ab_bench.py trigger_posture [--events 1000000] [--reps 3]
     python tools/ab_bench.py lsh_mass_dup    [--copies 20000] [--reps 3]
     python tools/ab_bench.py lsh_clean_corpus [--docs 20000] [--reps 3]
+    python tools/ab_bench.py shingle_tokenize [--docs 20000] [--words 50] [--reps 3]
+    python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
+    python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
 """
 
 from __future__ import annotations
