@@ -265,3 +265,25 @@ def test_media_features_tolerate_statless_plans(spark):
     rdd_df = spark.sparkContext.parallelize(rows).toDF(["doc_id", "media"])
     out = extract_media_features(rdd_df, "doc_id").collect()
     assert len(out) == 10 and all(r.n_bytes == 64 for r in out)
+
+
+def test_word_shingles_tokenizes_once_per_row(spark):
+    """The shingle build's 9x fix (BENCH/ab_shingle_tokenize_w400.json)
+    rests on two optimizer behaviors pinned here: the normalize+split
+    tokenize stays in its OWN projection (CollapseProject declines to
+    inline a non-cheap, multiply-referenced alias), so the Generate's
+    transform lambda captures an attribute — if a Spark upgrade changes
+    either rule, the tokenize silently re-runs once per array element
+    and this test fails."""
+    from odibel_spark.functions.dedup import word_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    p = plan(word_shingles(docs, "doc_id", "text", 3))
+    gen = next(s for s in p.split("\n\n") if s.startswith("(") and ") Generate" in s.split("\n")[0])
+    assert "regexp_replace" not in gen, "tokenize inlined into the Generate lambda"
+    projs = [s for s in p.split("\n\n") if s.startswith("(") and ") Project" in s.split("\n")[0]]
+    assert any("split(" in s and "regexp_replace" in s for s in projs), (
+        "tokenize must be materialized in its own projection"
+    )
