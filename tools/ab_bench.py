@@ -90,7 +90,7 @@ def ab_trigger_posture(spark, events: int, reps: int) -> None:
     )
     seq = [0]
 
-    def run(max_files: int) -> None:
+    def run(max_files: int | None) -> None:
         seq[0] += 1
         root = os.path.join(base, f"t{seq[0]}")
         p = TranscriptCdcPipeline(
@@ -107,11 +107,13 @@ def ab_trigger_posture(spark, events: int, reps: int) -> None:
     try:
         run_ab(
             "trigger_posture", spark,
-            {"per_file_cadence": lambda: run(1), "one_batch": lambda: run(n_files)},
+            {"per_file_cadence": lambda: run(1), "one_batch": lambda: run(None)},
             reps,
             {"events": events, "wal_files": n_files,
-             "note": "MoR pipeline, identical WAL; one_batch = maxFilesPerTrigger=n_files "
-                     "(bench.py headline posture), per_file_cadence = maxFilesPerTrigger=1"},
+             "note": "MoR pipeline, identical WAL; one_batch = no trigger limit, the whole "
+                     "backlog in ONE data micro-batch (bench.py headline posture since r4 — "
+                     "maxFilesPerTrigger=n_files was off by one, the schema-evolution segment "
+                     "adds a physical file), per_file_cadence = maxFilesPerTrigger=1"},
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
