@@ -33,6 +33,19 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
 #: the shared host; every rep's wall time is recorded in the output)
 HEADLINE_REPS = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")))
 
+#: Per-query normalization basis: normalized seconds are reported as
+#: "wall seconds this query would take on a host running the fixedwork
+#: kernel at NORM_BASIS_MITERS M iterations/s" — an arbitrary but FIXED
+#: reference speed (roughly this host's median across rounds 2-4), so
+#: normalized values are comparable across rounds regardless of which
+#: speed window each round's run landed in. r4 proved the need: the
+#: within-run kernel swung 11.8 → 21.7 Miters/s and 1.3-2× per-query
+#: "drifts" appeared on unchanged code.
+NORM_BASIS_MITERS = 15.0
+#: seconds per fixedwork bracket sample (one before every timed query
+#: + one closing sample; ~10 s total overhead on a ~200 s bench)
+BRACKET_SECONDS = 0.4
+
 ANALYTICS = [
     "cdc_last_writer_wins",
     "cdc_temporal_windows",
@@ -139,19 +152,34 @@ def main() -> None:
     t_all = time.time()
     queries: dict[str, float] = {}
 
+    # Per-query host normalization (r4 VERDICT item #1): every timed
+    # query is BRACKETED by a fixedwork kernel sample — the sample
+    # before query i and the sample before query i+1 (or the phase
+    # close) straddle its window, and their mean converts the raw wall
+    # time into seconds-at-NORM_BASIS_MITERS. Raw times stay in
+    # "queries" (the driver contract); normalized times + the brackets
+    # go in "queries_norm_sec" / "queries_bracket_miters". The kernel
+    # is single-core, so it tracks interpreter/CPU-frequency swings but
+    # NOT multi-core neighbor steal — normalized values still carry
+    # that residual noise mode (the MoR headline keeps its separate
+    # multi-core normalizer for exactly that reason).
+    bracket_order: list[str] = []
+    bracket_pre: dict[str, float] = {}
+
+    def run_timed(name: str, fn) -> float:
+        bracket_pre[name] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
+        bracket_order.append(name)
+        t0 = time.time()
+        fn()
+        sec = round(time.time() - t0, 3)
+        queries[name] = sec
+        return sec
+
     # ---- analytics headliners at SF_DIR ------------------------------
-    # Host-window markers: per-query times here are SINGLE-SHOT on a
-    # host whose multi-core capacity swings several-fold between
-    # minutes (BENCH/BASELINE.md variance appendix), so a burn sample
-    # before and after the phase records which window the phase ran in
-    # — compare cross-round per-query times only when the brackets of
-    # both rounds are comparable.
     miters_fw_pre = cpu_reference_miters_fixedwork()
     qs = E.queries()
     for name in ANALYTICS:
-        t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        queries[name] = round(time.time() - t0, 3)
+        run_timed(name, lambda n=name: materialize(qs[n](spark, SF_DIR)))
     miters_fw_mid = cpu_reference_miters_fixedwork()
 
     # ---- CDC replay throughput ---------------------------------------
@@ -161,12 +189,12 @@ def main() -> None:
         n_files = max(8, CPUS // 2)
         wal = write_wal_files(spark, cfg, os.path.join(base, "wal"), n_files=n_files)
 
-        t0 = time.time()
-        ev = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(wal)
-        ok, _dead = split_dead_letters(ev.drop("wal_chunk"))
-        materialize(current_state(ok))
-        batch_s = time.time() - t0
-        queries["cdc_replay_batch"] = round(batch_s, 3)
+        def _replay_batch() -> None:
+            ev = spark.read.option("mergeSchema", "true").option("recursiveFileLookup", "true").parquet(wal)
+            ok, _dead = split_dead_letters(ev.drop("wal_chunk"))
+            materialize(current_state(ok))
+
+        batch_s = run_timed("cdc_replay_batch", _replay_batch)
 
         # One big micro-batch (no trigger limit): for a fixed replay
         # the per-epoch fixed costs (stream planning, state-store init,
@@ -176,20 +204,20 @@ def main() -> None:
         # 17th physical file, spilling one chunk into a second data
         # epoch (~2s of pure epoch overhead on this box). Per-epoch
         # cadence behaviour is measured by tools/scaling_bench.py.
-        t0 = time.time()
-        p = TranscriptCdcPipeline(
-            spark,
-            PipelineConfig(
-                wal_dirs=[wal],
-                table_root=os.path.join(base, "transcripts"),
-                checkpoint_dir=os.path.join(base, "ckpt"),
-                buckets=CPUS,
-                max_files_per_trigger=None,
-            ),
-        )
-        p.run_available()
-        pipe_s = time.time() - t0
-        queries["cdc_merge_pipeline"] = round(pipe_s, 3)
+        def _cow_pipeline() -> None:
+            p = TranscriptCdcPipeline(
+                spark,
+                PipelineConfig(
+                    wal_dirs=[wal],
+                    table_root=os.path.join(base, "transcripts"),
+                    checkpoint_dir=os.path.join(base, "ckpt"),
+                    buckets=CPUS,
+                    max_files_per_trigger=None,
+                ),
+            )
+            p.run_available()
+
+        pipe_s = run_timed("cdc_merge_pipeline", _cow_pipeline)
 
         # merge-on-read posture: O(batch) delta commits (+ compaction).
         # The MoR run is the HEADLINE, and the shared host swings
@@ -201,8 +229,8 @@ def main() -> None:
         # in the output for auditability. min is the noise-robust
         # statistic on a contended host (noise only ever adds time).
         mor_reps: list[float] = []
-        for rep in range(HEADLINE_REPS):
-            t0 = time.time()
+
+        def _mor_rep(rep: int) -> None:
             pm = TranscriptCdcPipeline(
                 spark,
                 PipelineConfig(
@@ -215,6 +243,14 @@ def main() -> None:
                 ),
             )
             pm.run_available()
+
+        # the MoR group is bracketed as ONE timed entry (best-of reps
+        # is the recorded value; the group's brackets straddle all reps)
+        bracket_pre["cdc_merge_pipeline_mor"] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
+        bracket_order.append("cdc_merge_pipeline_mor")
+        for rep in range(HEADLINE_REPS):
+            t0 = time.time()
+            _mor_rep(rep)
             mor_reps.append(round(time.time() - t0, 3))
         pipe_mor_s = min(mor_reps)
         queries["cdc_merge_pipeline_mor"] = pipe_mor_s
@@ -226,6 +262,20 @@ def main() -> None:
     total = round(time.time() - t_all, 3)
     miters = cpu_reference_miters()
     miters_fw = cpu_reference_miters_fixedwork()
+    # closing bracket: the post-sample for the last timed query
+    closing_bracket = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
+    queries_norm: dict[str, float] = {}
+    brackets_out: dict[str, list[float]] = {}
+    for i, name in enumerate(bracket_order):
+        pre = bracket_pre[name]
+        post = (
+            bracket_pre[bracket_order[i + 1]]
+            if i + 1 < len(bracket_order)
+            else closing_bracket
+        )
+        window = (pre + post) / 2.0
+        brackets_out[name] = [round(pre, 1), round(post, 1)]
+        queries_norm[name] = round(queries[name] * window / NORM_BASIS_MITERS, 3)
     out = {
         # headline = the BASELINE.json north metric: sustained
         # change-events/sec through the full exactly-once streaming
@@ -235,6 +285,16 @@ def main() -> None:
         "unit": "events/sec",
         "bench_total_wall_sec": total,
         "queries": queries,
+        # host-normalized per-query times: raw wall sec × (mean of the
+        # straddling fixedwork brackets) / NORM_BASIS_MITERS — i.e.
+        # "seconds this query would take at 15 Miters/s". THE cross-
+        # round per-query comparator since r5; raw "queries" values are
+        # only comparable when both rounds' brackets happen to agree.
+        # Caveat: the kernel is single-core, so multi-core neighbor
+        # steal (the headline's noise mode) is NOT corrected here.
+        "queries_norm_sec": queries_norm,
+        "queries_bracket_miters": brackets_out,
+        "norm_basis_miters": NORM_BASIS_MITERS,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cdc_events": N_EVENTS,
         "cdc_batch_events_per_sec": round(N_EVENTS / batch_s, 1),
