@@ -45,6 +45,16 @@ MINHASH_BANDS = 4  # 4 rows per band
 DEFAULT_MAX_BUCKET = 2048
 LSH_CAP_METRIC = "lsh_bucket_cap"
 
+#: ``collapse="auto"`` probe: rows sampled and the distinct-fingerprint
+#: ratio a sample must REACH for auto to skip the pre-collapse. The
+#: threshold is deliberately strict (≥ 2% sampled duplicates already
+#: picks the collapse arm): choosing uncollapsed on a corpus that
+#: actually mass-duplicates would let duplicate clusters overflow the
+#: bucket cap (dropped pairs) instead of re-expanding — so ambiguity
+#: resolves toward the skew-safe arm.
+COLLAPSE_PROBE_ROWS = 8192
+COLLAPSE_AUTO_MIN_DISTINCT = 0.98
+
 #: Monotonic suffix for default observation names: two capped LSH
 #: stages composed into ONE query (e.g. MinHash ∪ embedding LSH) would
 #: otherwise both observe under the constant name and Spark rejects
@@ -87,6 +97,64 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     with _CACHE_LOCK:
         _ACTIVE_CACHES.append(df)
     return df
+
+
+def _resolve_collapse(
+    docs: DataFrame,
+    fingerprint: F.Column,
+    collapse: bool | str,
+    probe_rows: int = COLLAPSE_PROBE_ROWS,
+) -> bool:
+    """Resolve the ``collapse`` knob: booleans pass through; ``"auto"``
+    runs a BOUNDED duplicate-rate probe — distinct-fingerprint ratio
+    over the first ``probe_rows`` rows (one tiny eager job at pipeline-
+    assembly time; ``limit`` reads only as many partitions as needed)
+    and picks the pre-collapse arm unless the sample is essentially
+    clean (ratio ≥ ``COLLAPSE_AUTO_MIN_DISTINCT``).
+
+    The pair set is arm-invariant on the corpora auto distinguishes:
+    a clean sample ⇒ no mass-duplicate clusters to overflow the bucket
+    cap, so uncollapsed produces the identical pairs without the
+    fingerprint shuffle; a dirty sample ⇒ collapse, the always-correct
+    arm. The probe is locality-biased (first partitions, not a uniform
+    sample) — deliberate, because mass duplication in web corpora is
+    pervasive (boilerplate, license headers), and the strict threshold
+    means even trace duplication in the sample resolves to the safe
+    arm; a corpus whose duplicates hide ENTIRELY outside the probed
+    prefix should pass ``collapse=True`` explicitly."""
+    if isinstance(collapse, bool):
+        return collapse
+    if collapse != "auto":
+        raise ValueError(f"collapse must be True, False or 'auto', got {collapse!r}")
+    row = (
+        docs.select(fingerprint.alias("_fp"))
+        .limit(probe_rows)
+        .agg(F.count("*").alias("n"), F.count_distinct("_fp").alias("d"))
+        .first()
+    )
+    n = row["n"] or 0
+    if n == 0:
+        return False  # empty input: both arms are trivially identical
+    return (row["d"] / n) < COLLAPSE_AUTO_MIN_DISTINCT
+
+
+def _vector_dim_hint(emb: DataFrame, vec_col: str) -> int | None:
+    """Fixed embedding width from the column's schema METADATA, when a
+    producer recorded one (``dim``/``size``/``length`` key — e.g.
+    ``df.select(F.col("v").alias("v", metadata={"dim": 768}))``).
+    Spark array types carry no length, so this is an opt-in hint that
+    lets ``embedding_lsh_candidates`` stay fully lazy without the
+    caller passing ``dim``; absent or malformed metadata returns None
+    and the eager ``.first()`` probe remains the last resort."""
+    try:
+        meta = emb.schema[vec_col].metadata or {}
+    except Exception:
+        return None
+    for key in ("dim", "size", "length"):
+        v = meta.get(key)
+        if isinstance(v, int) and not isinstance(v, bool) and v > 0:
+            return v
+    return None
 
 
 def _str_hash(col) -> F.Column:
@@ -349,7 +417,7 @@ def minhash_lsh_candidates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool = True,
+    collapse: bool | str = True,
 ) -> DataFrame:
     """LSH banding: split the K-signature into ``bands`` bands of
     k/bands rows; documents sharing any full band become candidate
@@ -375,8 +443,11 @@ def minhash_lsh_candidates(
     to be mostly exact-distinct (e.g. already exact-deduped upstream),
     pass ``collapse=False`` to skip that shuffle; the bucket cap then
     counts DOCUMENTS, not distinct fingerprints, so mass duplicates
-    overflow buckets instead of pairing — only safe post-exact-dedup."""
+    overflow buckets instead of pairing — only safe post-exact-dedup.
+    ``collapse="auto"`` picks the arm from a sampled duplicate-rate
+    probe (one bounded eager job — see ``_resolve_collapse``)."""
     clear_dedup_caches()
+    collapse = _resolve_collapse(docs, document_fingerprint(F.col(text_col)), collapse)
     if not collapse:
         sig = minhash_signatures(docs, id_col, text_col, n, k)
         buckets = _minhash_band_buckets(sig, id_col, k, bands)
@@ -499,7 +570,7 @@ def minhash_near_duplicates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool = True,
+    collapse: bool | str = True,
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact Jaccard verification
     restricted to candidates (semi-join pushes the filter into the
@@ -514,8 +585,10 @@ def minhash_near_duplicates(
     ``max_bucket_size`` residual-skew cap and the ``collapse``
     performance knob (False skips the fingerprint shuffle — safe on
     corpora already exact-deduped upstream; identical docs then verify
-    through the buckets at jaccard 1.0 instead of re-expanding)."""
+    through the buckets at jaccard 1.0 instead of re-expanding) and the
+    ``"auto"`` sampled-probe mode."""
     clear_dedup_caches()
+    collapse = _resolve_collapse(docs, document_fingerprint(F.col(text_col)), collapse)
     if not collapse:
         sh = _cache_scoped(
             word_shingles(docs, id_col, text_col, n).withColumn("_h", _str_hash(F.col("shingle")))
@@ -703,7 +776,7 @@ def embedding_lsh_candidates(
     dim: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool = True,
+    collapse: bool | str = True,
 ) -> DataFrame:
     """Banded LSH over hyperplane signatures: two vectors are candidate
     near-duplicates if any band of sign-bits matches exactly. Replaces
@@ -723,15 +796,15 @@ def embedding_lsh_candidates(
     ``LSH_CAP_METRIC``-prefixed metric name. See
     ``minhash_lsh_candidates`` for the ``collapse`` performance knob
     (False skips the fingerprint shuffle; the cap then counts vectors,
-    not distinct values — safe only post-exact-dedup)."""
+    not distinct values — safe only post-exact-dedup) and the
+    ``"auto"`` sampled-probe mode."""
+    if dim is None:
+        # fixed-width hint first (attach via .alias(metadata={"dim": n})
+        # or any writer that records it); else the eager .first() probe
+        dim = _vector_dim_hint(emb, vec_col)
     if dim is None:  # fallback probe — an eager job; prefer passing dim
         dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     clear_dedup_caches()
-    if not collapse:
-        planes = random_hyperplanes(dim, n_planes, seed)
-        sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
-        buckets = _hyperplane_band_buckets(sigs, id_col, n_planes, bands)
-        return _bucket_pairs(buckets, id_col, max_bucket_size, observation)
     # xxhash64 over (null-sentineled values, null mask) — NOT md5 of a
     # string concat: serializing every vector element to text twice per
     # row was the dominant fingerprint cost. Spark's array hash SKIPS
@@ -745,6 +818,12 @@ def embedding_lsh_candidates(
         F.transform(F.col(vec_col), lambda x: F.coalesce(x, F.lit(float("nan")))),
         F.transform(F.col(vec_col), lambda x: x.isNull()),
     )
+    collapse = _resolve_collapse(emb, vec_fp, collapse)
+    if not collapse:
+        planes = random_hyperplanes(dim, n_planes, seed)
+        sigs = embedding_lsh_signatures(emb, id_col, vec_col, planes)
+        buckets = _hyperplane_band_buckets(sigs, id_col, n_planes, bands)
+        return _bucket_pairs(buckets, id_col, max_bucket_size, observation)
     members, rep_vecs = _fingerprint_collapse(emb, id_col, vec_col, vec_fp)
     planes = random_hyperplanes(dim, n_planes, seed)
     sigs = embedding_lsh_signatures(rep_vecs, id_col, vec_col, planes)

@@ -55,7 +55,7 @@ def run_ab(name: str, spark, arms: dict, reps: int, meta: dict) -> dict:
             arms[lbl]()
             cells.append({"rep": rep, "arm": lbl, "sec": round(time.perf_counter() - t0, 3)})
     best = {lbl: min(c["sec"] for c in cells if c["arm"] == lbl) for lbl in labels}
-    a, b = labels
+    a, b = labels[0], labels[1]
     artifact = {
         "name": name,
         "protocol": "interleaved same-JVM, 1 warmup/arm, best-of-%d" % reps,
@@ -63,6 +63,10 @@ def run_ab(name: str, spark, arms: dict, reps: int, meta: dict) -> dict:
         "best_sec": best,
         # how many times faster arm b's best is than arm a's best
         "speedup_b_vs_a": round(best[a] / best[b], 3) if best[b] else None,
+        # generalization for ≥3-arm runs: each arm's speedup vs arm 0
+        "speedup_vs_first": {
+            lbl: (round(best[a] / best[lbl], 3) if best[lbl] else None) for lbl in labels[1:]
+        },
         "cells": cells,
         "cpu_ref_miters_fixedwork": round(cpu_reference_miters_fixedwork(), 1),
         **meta,
@@ -145,35 +149,29 @@ def ab_lsh_mass_dup(spark, copies: int, reps: int) -> None:
     )
     docs.cache().count()
 
-    def run_collapsed() -> None:
-        # production path: fingerprint pre-collapse, cap disabled so
-        # both arms generate the identical full pair set
-        pairs = minhash_lsh_candidates(docs, "doc_id", "text", max_bucket_size=None)
-        materialize(pairs.agg(F.count("*").alias("n")))
-
-    def run_uncollapsed() -> None:
-        # the pre-r3 shape, now the public collapse=False knob: every
-        # copy shingles/signs individually and lands in the band
-        # buckets, so each bucket's member array holds the whole dup
-        # cluster
+    def run(collapse) -> None:
+        # cap disabled so every arm generates the identical full pair set
         pairs = minhash_lsh_candidates(
-            docs, "doc_id", "text", max_bucket_size=None, collapse=False
+            docs, "doc_id", "text", max_bucket_size=None, collapse=collapse
         )
         materialize(pairs.agg(F.count("*").alias("n")))
 
     try:
         run_ab(
             "lsh_mass_dup", spark,
-            {"uncollapsed": run_uncollapsed, "collapsed": run_collapsed},
+            {"uncollapsed": lambda: run(False), "collapsed": lambda: run(True),
+             "auto": lambda: run("auto")},
             reps,
             {"docs": copies, "distinct_texts": n_distinct,
              "note": "LSH candidate generation on a corpus of `docs` documents with only "
                      "`distinct_texts` distinct contents (mass-duplicate skew). collapsed = "
                      "r3 fingerprint pre-collapse (reps shingle once; in-group pairs from a "
                      "distributed fingerprint self-join); uncollapsed = pre-r3 shape (every "
-                     "copy in every band bucket, single-task array explosion per bucket). "
-                     "Output pair sets are equal (tests/test_dedup_skew.py); cap disabled "
-                     "so both arms do full work"},
+                     "copy in every band bucket, single-task array explosion per bucket); "
+                     "auto = r5 sampled duplicate-rate probe (must pick the collapsed arm "
+                     "here and keep its win, probe cost included). Output pair sets are "
+                     "equal (tests/test_dedup_skew.py); cap disabled so all arms do full "
+                     "work"},
         )
     finally:
         docs.unpersist()
@@ -201,7 +199,7 @@ def ab_lsh_clean_corpus(spark, docs_n: int, reps: int) -> None:
     )
     docs.cache().count()
 
-    def run(collapse: bool):
+    def run(collapse):
         pairs = minhash_lsh_candidates(
             docs, "doc_id", "text", max_bucket_size=None, collapse=collapse
         )
@@ -210,14 +208,17 @@ def ab_lsh_clean_corpus(spark, docs_n: int, reps: int) -> None:
     try:
         run_ab(
             "lsh_clean_corpus", spark,
-            {"collapsed": lambda: run(True), "uncollapsed": lambda: run(False)},
+            {"collapsed": lambda: run(True), "uncollapsed": lambda: run(False),
+             "auto": lambda: run("auto")},
             reps,
             {"docs": docs_n, "distinct_texts": docs_n,
              "note": "LSH candidate generation on an all-distinct corpus: collapsed = "
                      "default skew guard (fingerprint shuffle is pure overhead here), "
                      "uncollapsed = collapse=False (the documented knob for corpora "
-                     "already exact-deduped upstream). Output pair sets are equal; "
-                     "speedup_b_vs_a quantifies the clean-corpus tax the guard costs"},
+                     "already exact-deduped upstream), auto = r5 sampled duplicate-rate "
+                     "probe (should land within ~1.3x of uncollapsed, probe cost "
+                     "included). Output pair sets are equal; speedup_b_vs_a quantifies "
+                     "the clean-corpus tax the default guard costs"},
         )
     finally:
         docs.unpersist()
