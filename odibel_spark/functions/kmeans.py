@@ -26,8 +26,10 @@ Determinism rules (each rules out a float-ordering hazard):
   ``array_min``;
 - a cluster that loses all points keeps its previous center.
 
-Scale shape: per iteration, ONE assignment projection (centers are
-literal arrays folded into the plan — no join) + ONE
+Scale shape: per iteration, ONE assignment projection — centers
+folded in as literals for coarse k, or attached via a one-row
+broadcast relation past ``LITERAL_ASSIGN_MAX_CELLS`` center cells
+(``method="auto"`` picks; both are arithmetic-identical) — + ONE
 ``groupBy(cluster, dim)`` over posexploded quanta (k*dim groups,
 map-side combined), then k*dim sums collected to the driver (k=100,
 dim=1024 → 100k tiny rows; the same centers-on-driver loop Spark
@@ -44,6 +46,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SCALE = 1000
+
+#: ``method="auto"`` switch point: up to this many center CELLS
+#: (k × dim) the assignment folds the centers into the plan as
+#: literals (zero joins, whole-stage-codegen friendly — right for the
+#: documented coarse-IVF intent, k≈100); past it, k*dim literal
+#: expression nodes bloat plan construction/codegen and k interpreted
+#: higher-order folds run per row, so the centers move into a ONE-ROW
+#: broadcast relation instead (bounded plan, one fold over an array
+#: attribute). 4096 ≈ the k=64×dim=64 corner; a k=4096 codebook at
+#: dim=512 would be 2M literal nodes on the literal path.
+LITERAL_ASSIGN_MAX_CELLS = 4096
 
 
 def _quantize(vec_col, scale: int) -> F.Column:
@@ -69,6 +82,52 @@ def _assign_expr(qvec, centers: list[list[float]], scale: int) -> F.Column:
     return F.array_min(F.array(*cands))["j"]
 
 
+def _centers_relation(spark, centers: list[list[float]]):
+    """The trained centers as a ONE-ROW DataFrame holding one
+    array<array<double>> cell — broadcast-joined to the vectors so the
+    plan stays O(1) in k·dim instead of folding every center value in
+    as a literal node. A BroadcastNestedLoopJoin against a single-row
+    side is a map-side column attach, not a data-size cross join."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("_centers", T.ArrayType(T.ArrayType(T.DoubleType())), False)]
+    )
+    return spark.createDataFrame([([[float(c) for c in cen] for cen in centers],)], schema)
+
+
+def _assign_broadcast_expr(qvec, k: int, scale: int) -> F.Column:
+    """Argmin-distance cluster id against the ``_centers`` column of a
+    joined one-row centers relation. IDENTICAL arithmetic to
+    ``_assign_expr`` — same quantize/divide, same left-to-right
+    sequential fold per dimension, same struct-ordered tie-break to the
+    smallest cluster id — so both paths produce bit-equal assignments
+    (pinned by test_kmeans_assign_broadcast_matches_literal)."""
+    dv = F.transform(qvec, lambda q: q / F.lit(float(scale)))
+
+    def dist(j):
+        cen = F.element_at(F.col("_centers"), j + 1)
+        return F.aggregate(
+            F.zip_with(dv, cen, lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    cands = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: F.struct(dist(j).alias("d"), j.alias("j")),
+    )
+    return F.array_min(cands)["j"]
+
+
+def _resolve_assign_method(method: str, k: int, dim: int) -> str:
+    if method not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"method must be 'auto', 'literal' or 'broadcast', got {method!r}")
+    if method != "auto":
+        return method
+    return "literal" if k * max(dim, 1) <= LITERAL_ASSIGN_MAX_CELLS else "broadcast"
+
+
 def kmeans_train(
     emb: DataFrame,
     id_col: str,
@@ -76,12 +135,16 @@ def kmeans_train(
     k: int = 4,
     iters: int = 2,
     scale: int = DEFAULT_SCALE,
+    method: str = "auto",
 ) -> list[list[float]]:
     """Run ``iters`` Lloyd iterations; returns the trained centers as
     plain Python lists (doubles). Driver-side collects per iteration
     are k seed rows and k*dim integer sums — never data rows. With
     fewer than ``k`` input rows the model has one center per row
-    (matching the SQL replay); an empty input raises ValueError."""
+    (matching the SQL replay); an empty input raises ValueError.
+    ``method`` picks the per-iteration assignment shape (see
+    ``kmeans_assign``); both shapes are arithmetic-identical, so the
+    trained centers do not depend on it."""
     if k < 1:
         raise ValueError(f"kmeans_train requires k >= 1, got {k}")
     q = emb.select(F.col(id_col).alias("_id"), _quantize(F.col(vec_col), scale).alias("_qv"))
@@ -94,8 +157,14 @@ def kmeans_train(
     # fewer rows than k: train one center per row — the same outcome
     # the SQL replay produces (its seed CTE simply yields fewer rows)
     k = len(centers)
+    how = _resolve_assign_method(method, k, len(centers[0]))
     for _ in range(iters):
-        assigned = q.select(_assign_expr(F.col("_qv"), centers, scale).alias("_c"), "_qv")
+        if how == "broadcast":
+            assigned = q.crossJoin(
+                F.broadcast(_centers_relation(emb.sparkSession, centers))
+            ).select(_assign_broadcast_expr(F.col("_qv"), k, scale).alias("_c"), "_qv")
+        else:
+            assigned = q.select(_assign_expr(F.col("_qv"), centers, scale).alias("_c"), "_qv")
         sums = (
             assigned.select("_c", F.posexplode("_qv").alias("_dim", "_q"))
             .groupBy("_c", "_dim")
@@ -123,9 +192,31 @@ def kmeans_assign(
     id_col: str,
     vec_col: str,
     scale: int = DEFAULT_SCALE,
+    method: str = "auto",
 ) -> DataFrame:
     """Attach the argmin-distance ``cluster`` column for the given
-    centers — one narrow projection, no shuffle, no Python per row."""
+    centers — no shuffle, no Python per row, bit-identical assignments
+    under every ``method``:
+
+    - ``"literal"``: centers folded into the projection as literal
+      arrays — zero joins, but O(k·dim) plan nodes and k interpreted
+      folds per row; right for coarse IVF lists (k≈100).
+    - ``"broadcast"``: centers in a one-row broadcast relation joined
+      to the scan (BroadcastNestedLoopJoin against a single row = a
+      map-side column attach), argmin as ONE fold over the centers
+      array attribute — bounded plan size for large-k codebooks.
+    - ``"auto"`` (default): literal up to ``LITERAL_ASSIGN_MAX_CELLS``
+      center cells, broadcast past it."""
+    how = _resolve_assign_method(method, len(centers), len(centers[0]) if centers else 0)
+    if how == "broadcast":
+        return (
+            emb.crossJoin(F.broadcast(_centers_relation(emb.sparkSession, centers)))
+            .withColumn(
+                "cluster",
+                _assign_broadcast_expr(_quantize(F.col(vec_col), scale), len(centers), scale),
+            )
+            .drop("_centers")
+        )
     return emb.withColumn(
         "cluster", _assign_expr(_quantize(F.col(vec_col), scale), centers, scale)
     )

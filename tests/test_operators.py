@@ -430,3 +430,64 @@ def test_ivf_trained_probe_tolerates_zero_norm_centers(spark):
     out = ivf_top_k_trained(emb, centers, [1.0, 0.0], "vec_id", "embedding", k=2, nprobe=1)
     got = [r.vec_id for r in out.collect()]
     assert got == [1, 2]  # zero-norm cluster ranked last, never probed
+
+
+def test_kmeans_assign_broadcast_matches_literal(spark):
+    """r4 VERDICT item #3: past coarse k the literal-folded assignment
+    (k*dim literal plan nodes, k interpreted folds per row) gives way
+    to a one-row broadcast centers relation. Both shapes run the same
+    arithmetic in the same order, so assignments are bit-identical;
+    the broadcast plan stays bounded while the literal plan grows with
+    every center cell."""
+    from odibel_spark.functions.kmeans import (
+        _resolve_assign_method,
+        kmeans_assign,
+        kmeans_train,
+    )
+
+    import pyspark.sql.functions as SF
+
+    emb = spark.range(200).select(
+        SF.col("id").alias("vec_id"),
+        SF.transform(
+            SF.sequence(SF.lit(1), SF.lit(8)),
+            lambda j: ((SF.col("id") * j) % 17).cast("double") / 4.0,
+        ).alias("embedding"),
+    )
+    centers = kmeans_train(emb, "vec_id", "embedding", k=5, iters=2)
+    lit_rows = sorted(
+        map(tuple, kmeans_assign(emb, centers, "vec_id", "embedding", method="literal")
+            .select("vec_id", "cluster").collect())
+    )
+    bc_rows = sorted(
+        map(tuple, kmeans_assign(emb, centers, "vec_id", "embedding", method="broadcast")
+            .select("vec_id", "cluster").collect())
+    )
+    assert lit_rows == bc_rows
+    assert len({c for _, c in lit_rows}) > 1
+    # training through the broadcast assignment reproduces the centers
+    assert kmeans_train(emb, "vec_id", "embedding", k=5, iters=2, method="broadcast") == centers
+
+    # method resolution: coarse IVF stays literal, codebooks go broadcast
+    assert _resolve_assign_method("auto", 100, 40) == "literal"
+    assert _resolve_assign_method("auto", 256, 64) == "broadcast"
+    with pytest.raises(ValueError, match="method"):
+        _resolve_assign_method("nope", 1, 1)
+
+    # bounded plan at k=256/dim=64 (16384 center cells): the broadcast
+    # plan carries the centers in a LocalRelation, not as expression
+    # literals, so its plan string is orders of magnitude smaller
+    emb64 = spark.range(10).select(
+        SF.col("id").alias("vec_id"),
+        SF.transform(SF.sequence(SF.lit(1), SF.lit(64)), lambda j: j.cast("double")).alias("embedding"),
+    )
+    big = [[float((i * j) % 7) for j in range(64)] for i in range(256)]
+    bc = kmeans_assign(emb64, big, "vec_id", "embedding")  # auto -> broadcast
+    bc_plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in bc_plan
+    lit_plan = (
+        kmeans_assign(emb64, big, "vec_id", "embedding", method="literal")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(bc_plan) < len(lit_plan) / 10
+    assert len(bc_plan) < 50_000
