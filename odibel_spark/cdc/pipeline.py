@@ -36,6 +36,7 @@ North-rule mechanics and where they live:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -57,6 +58,13 @@ WAL_META_COLS = ("lsn", "op", "wal_chunk")
 #: multiplies delta files (MoR read amplification) with no straggler
 #: relief.
 _MIN_SALT_HOT = 1024
+
+#: guards the session-conf swap window in ``_start_stream`` (set
+#: state-store confs → start() → restore): two pipelines starting
+#: concurrently from different threads must not interleave their
+#: set/restore, or the second could capture (or restore over) the
+#: first's overrides
+_CONF_SWAP_LOCK = threading.Lock()
 
 LINEAGE_SCHEMA = T.StructType(
     [
@@ -128,8 +136,13 @@ class PipelineConfig:
     #: state spills to executor-local disk and checkpoint commits ship
     #: only the per-batch changelog, the posture for 10^10-event feeds
     #: where (conv_id, turn_idx, lsn) dedup state outgrows heap).
-    #: The provider class is captured in the checkpoint's offset
-    #: metadata at first start, so a resumed stream keeps its backend.
+    #: Only the provider CLASS is captured in the checkpoint's offset
+    #: metadata at first start — a resumed stream keeps its RocksDB
+    #: backend even under a heap-default session, but changelog
+    #: checkpointing is an ordinary session conf that is NOT pinned:
+    #: resume with state_store="rocksdb" (not the default) or the
+    #: resumed store silently reverts to full-snapshot uploads and
+    #: loses the O(batch) commit cost.
     state_store: str = "hdfs"
     extra: dict = field(default_factory=dict)
 
@@ -387,9 +400,12 @@ class TranscriptCdcPipeline:
 
     def _state_store_conf(self):
         """Session confs for cfg.state_store, applied around query
-        start (a streaming query captures SQLConf at start and pins
-        the provider into its checkpoint metadata; the session values
-        are restored afterwards so concurrent queries are unaffected)."""
+        start: a streaming query captures SQLConf at start, and pins
+        the provider CLASS (only — not the changelog-checkpointing
+        flag, see PipelineConfig.state_store) into its checkpoint
+        offset metadata. The session values are restored right after
+        start; see ``_start_stream`` for the concurrency window that
+        set/restore dance implies."""
         if self.cfg.state_store == "hdfs":
             return {}
         if self.cfg.state_store != "rocksdb":
@@ -404,6 +420,18 @@ class TranscriptCdcPipeline:
         }
 
     def _start_stream(self, trigger_available_now: bool):
+        """Start the stream with the state-store confs swapped in for
+        the duration of ``start()`` only. The swap window is guarded by
+        a process-wide lock so two pipelines starting from different
+        threads can't interleave their set/restore — but a query
+        started by UNRELATED code in the same session during the
+        window would still capture the override (session confs are
+        session-global; there is no narrower scope for the provider
+        conf). Restore note: ``conf.get(k, None)`` returns the
+        REGISTERED DEFAULT for keys that have one (providerClass
+        does), so restore re-sets that default explicitly rather than
+        unsetting — same effective value, and the unset branch only
+        fires for keys with no registered default."""
         table, wal_schema = self.ensure_tables()
         stream = self._stream_reader(wal_schema)
         writer = stream.writeStream.foreachBatch(self._apply_batch).option(
@@ -412,18 +440,19 @@ class TranscriptCdcPipeline:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         overrides = self._state_store_conf()
-        saved = {}
-        for k, v in overrides.items():
-            saved[k] = self.spark.conf.get(k, None)
-            self.spark.conf.set(k, v)
-        try:
-            return writer.start()
-        finally:
-            for k, old in saved.items():
-                if old is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, old)
+        with _CONF_SWAP_LOCK:
+            saved = {}
+            for k, v in overrides.items():
+                saved[k] = self.spark.conf.get(k, None)
+                self.spark.conf.set(k, v)
+            try:
+                return writer.start()
+            finally:
+                for k, old in saved.items():
+                    if old is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, old)
 
     def run_available(self) -> None:
         """Process everything currently in the WAL, then stop

@@ -46,7 +46,14 @@ def prepare_training_corpus(
     canonical document; (2) documents sharing ≥ ``min_shared`` n-grams
     with any ``benchmark`` document are dropped (skipped when
     ``benchmark`` is None); (3) survivors are token-counted and packed
-    into ``max_tokens`` sequences. Deterministic end to end."""
+    into ``max_tokens`` sequences. Deterministic end to end.
+
+    Cache hygiene: this composes cache-scoped dedup stages, so the
+    ONE-LIVE-PIPELINE rule of ``dedup._ACTIVE_CACHES`` applies here
+    too — assembling the NEXT dedup/corpus pipeline unpersists this
+    one's cached intermediates. Consume (or checkpoint) the returned
+    plan before building another pipeline; results stay correct either
+    way, only the cache acceleration is lost."""
     # canonical-per-fingerprint via groupBy+semi-join, not a window:
     # the groupBy partial-aggregates map-side (same rationale as
     # dedup._fingerprint_collapse)

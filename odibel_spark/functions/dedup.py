@@ -626,6 +626,8 @@ def benchmark_contamination(
     bench_text: str = "text",
     n: int = 3,
     min_shared: int = 1,
+    broadcast_benchmark: bool | str = "auto",
+    broadcast_cap_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Eval-set decontamination: corpus documents sharing ≥
     ``min_shared`` distinct word n-grams with a benchmark document —
@@ -648,7 +650,20 @@ def benchmark_contamination(
     so no separate sizes aggregation scans the corpus. The only shuffle
     is the groupBy over rows that MATCHED a benchmark shingle —
     contamination-sized, not corpus-sized. One corpus scan total
-    (pinned by the plan assertion in tests/test_dedup_skew.py)."""
+    (pinned by the plan assertion in tests/test_dedup_skew.py).
+
+    ``broadcast_benchmark`` guards the "small by nature" assumption:
+    ``"auto"`` (default) drops the forced broadcast hint when the
+    benchmark shingle table's plan-stats size estimate (a driver-side
+    stats read, no job) is KNOWN to exceed ``broadcast_cap_bytes`` —
+    a 10× suite, or one stuffed with long documents — degrading
+    gracefully to whatever join Catalyst/AQE picks (sort-merge at
+    scale) instead of an OOM-risk forced broadcast. A stats-less
+    estimate (RDD-backed inputs report Long.MaxValue = "unknown")
+    keeps the domain assumption and broadcasts; pass ``False``
+    explicitly when feeding an unbounded benchmark side from a
+    stats-less source. Results are identical either way (tested in
+    test_dedup_skew.py)."""
     valid = F.filter(
         F.array_distinct(_shingles_from_words(F.col("_w"), n)),
         lambda sh: F.length(sh) > 0,
@@ -671,9 +686,21 @@ def benchmark_contamination(
         F.size("_sh").alias("doc_shingles"),
         _explode_no_infer(F.col("_sh")).alias("shingle"),
     )
-    b_sh = F.broadcast(
-        word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")
-    )
+    b_sh = word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")
+    if broadcast_benchmark == "auto":
+        try:
+            est = int(b_sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = None
+        # stats-less plans report Long.MaxValue ("unknown", not
+        # "huge"); only a KNOWN over-cap estimate drops the hint
+        broadcast_benchmark = est is None or est >= 2**60 or est < broadcast_cap_bytes
+    elif not isinstance(broadcast_benchmark, bool):
+        raise ValueError(
+            f"broadcast_benchmark must be True, False or 'auto', got {broadcast_benchmark!r}"
+        )
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
     return (
         d_sh.join(b_sh, "shingle")
         # each shingle appears once per document (array_distinct), so

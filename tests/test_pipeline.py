@@ -349,22 +349,43 @@ def test_state_store_rejects_unknown_backend(spark, wal_dir, tmpdir_path):
 def test_rocksdb_crash_restart_exactly_once(spark, wal_dir, tmpdir_path):
     """The north rule's resume clause under the RocksDB backend: crash
     after the lake commit of epoch 1 (worst ordering — lake advanced,
-    checkpoint not), then restart. The restart must resume from the
-    RocksDB changelog checkpoint (the provider is pinned in the
-    checkpoint's offset metadata, so the resumed query keeps the
-    backend even though the session default is heap), fence the
-    replayed epoch, and converge byte-identically to the batch oracle."""
+    checkpoint not), then restart WITHOUT re-requesting RocksDB (the
+    default heap config) — the provider CLASS pinned in the
+    checkpoint's offset metadata must keep the resumed query on
+    RocksDB. Note the documented asymmetry (PipelineConfig.state_store):
+    only the provider class is pinned; changelog checkpointing is not,
+    so the heap-default resume reverts to full-snapshot uploads —
+    production resumes should keep state_store='rocksdb'. The restart
+    must fence the replayed epoch and converge byte-identically to the
+    batch oracle."""
     with pytest.raises(Exception):  # Spark wraps the injected RuntimeError
         run_pipeline(
             spark, wal_dir, tmpdir_path, max_files_per_trigger=2,
             state_store="rocksdb", fail_after_commit_epoch=1,
         )
-    p = run_pipeline(
-        spark, wal_dir, tmpdir_path, max_files_per_trigger=2, state_store="rocksdb"
-    )
+    state_dir = os.path.join(tmpdir_path, "ckpt", "state")
+
+    def rocksdb_artifacts():
+        return {
+            os.path.join(root, name)
+            for root, _dirs, names in os.walk(state_dir)
+            for name in names
+            if name.endswith((".changelog", ".zip"))
+        }
+
+    before_restart = rocksdb_artifacts()
+    assert before_restart, "crashed run left no RocksDB artifacts to resume from"
+    # resume with the DEFAULT (heap) config: pinning must hold anyway
+    p = run_pipeline(spark, wal_dir, tmpdir_path, max_files_per_trigger=2)
     exp = oracle_state(spark, CFG)
     got = p.table().read()
     cols = PAYLOAD_COLS
     assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
     lin = p.lineage().filter(F.col("epoch") == 1)
     assert lin.groupBy("bucket").count().filter("count > 1").count() == 0
+    # the resumed epochs committed NEW RocksDB-format state artifacts
+    # (snapshot .zip — changelog checkpointing was not re-requested),
+    # proving the provider survived the heap-default session
+    assert rocksdb_artifacts() - before_restart, (
+        "restart produced no new RocksDB state artifacts — provider pinning not exercised"
+    )

@@ -19,6 +19,7 @@ Usage:
     python tools/ab_bench.py shingle_tokenize [--docs 20000] [--words 50] [--reps 3]
     python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
     python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
+    python tools/ab_bench.py state_store_pressure [--events 3000000] [--heap 1g] [--timeout 900]
 """
 
 from __future__ import annotations
@@ -271,6 +272,119 @@ def ab_state_store(spark, events: int, reps: int) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _pressure_child(backend: str, wal: str, root: str, cpus: int) -> None:
+    """Child JVM for ab_state_store_pressure: run the MoR pipeline with
+    the given state-store backend under the heap the parent pinned via
+    SPARK_GRAFT_DRIVER_MEM, print one JSON line. Exits nonzero (or the
+    JVM aborts) when the backend can't sustain the state."""
+    from odibel_spark import get_spark
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
+
+    spark = get_spark(f"pressure-{backend}", cpus=cpus, shuffle_partitions=cpus * 2)
+    t0 = time.perf_counter()
+    p = TranscriptCdcPipeline(
+        spark,
+        PipelineConfig(
+            wal_dirs=[wal], table_root=os.path.join(root, "tbl"),
+            checkpoint_dir=os.path.join(root, "ckpt"), buckets=cpus,
+            merge_mode="mor", max_files_per_trigger=None, state_store=backend,
+        ),
+    )
+    p.run_available()
+    sec = round(time.perf_counter() - t0, 3)
+    rows = p.table().read().count()
+    print(json.dumps({"backend": backend, "sec": sec, "rows": rows, "ok": True}))
+    spark.stop()
+
+
+def ab_state_store_pressure(events: int, heap: str, cpus: int, timeout_s: int) -> None:
+    """The RocksDB backend's REASON TO EXIST (r4 VERDICT item #4):
+    ab_state_store showed only the overhead case (state fits in heap,
+    RocksDB 0.88×). Here every event carries a DISTINCT conv_id, so the
+    in-stream dedup holds `events` state entries in ONE micro-batch,
+    and each arm runs in its own child JVM whose heap is pinned small
+    (SPARK_GRAFT_DRIVER_MEM — local mode, so driver heap IS the
+    executor heap). The heap-backed HDFS provider keeps the state map
+    on-heap and degrades/aborts; RocksDB keeps it native and sustains.
+
+    Protocol deviates from run_ab on purpose: arms NEED separate JVMs
+    (heap is a JVM-launch knob), and the comparison is
+    survive-vs-degrade, not an interleaved timing delta."""
+    import subprocess
+
+    from odibel_spark import get_spark
+    from odibel_spark.cdc import WalConfig, write_wal_files
+
+    base = tempfile.mkdtemp(prefix="ab-pressure-")
+    try:
+        spark = get_spark("ab-pressure-gen", cpus=cpus, shuffle_partitions=cpus * 2)
+        wal = write_wal_files(
+            spark, WalConfig(n_events=events, n_convs=events, seed=42),
+            os.path.join(base, "wal"), n_files=max(8, cpus // 2),
+        )
+        spark.stop()  # children get the host to themselves
+        arms = {}
+        for i, backend in enumerate(["rocksdb", "hdfs"]):
+            env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=heap)
+            t0 = time.perf_counter()
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "state_store_pressure",
+                     "--pressure-child", backend, wal, os.path.join(base, f"run{i}"),
+                     "--cpus", str(cpus)],
+                    env=env, capture_output=True, text=True, timeout=timeout_s,
+                )
+                line = next(
+                    (ln for ln in reversed(r.stdout.splitlines()) if ln.startswith("{")), None
+                )
+                if r.returncode == 0 and line:
+                    arms[backend] = json.loads(line)
+                else:
+                    err = (r.stderr or "") + "\n" + (r.stdout or "")
+                    # surface the OOM evidence if present (Spark's
+                    # uncaught-exception handler exits the JVM, so the
+                    # py4j tail alone just says "connection refused")
+                    oom = [
+                        ln.strip() for ln in err.splitlines()
+                        if any(m in ln for m in ("OutOfMemory", "Java heap space", "GC overhead"))
+                    ][:4]
+                    tail = err.strip().splitlines()[-6:]
+                    arms[backend] = {
+                        "backend": backend, "ok": False, "rc": r.returncode,
+                        "sec": round(time.perf_counter() - t0, 3),
+                        "oom_evidence": oom,
+                        "error_tail": tail,
+                    }
+            except subprocess.TimeoutExpired:
+                arms[backend] = {
+                    "backend": backend, "ok": False, "rc": "timeout",
+                    "sec": timeout_s,
+                    "error_tail": [f"no completion within {timeout_s}s (GC-thrash degradation)"],
+                }
+        artifact = {
+            "name": "state_store_pressure",
+            "protocol": "one child JVM per arm, heap pinned via SPARK_GRAFT_DRIVER_MEM; "
+                        "survive-vs-degrade comparison (separate JVMs required, so not "
+                        "interleaved — the interleaved overhead case is ab_state_store)",
+            "events": events, "distinct_convs": events, "heap": heap, "cpus": cpus,
+            "timeout_s": timeout_s,
+            "arms": arms,
+            "note": "every event is its own conv_id, so the watermarked in-stream dedup "
+                    "holds `events` state entries in one micro-batch. The crossover: the "
+                    "heap-backed provider must fail or degrade past timeout while RocksDB "
+                    "completes and both-arm row counts (when both finish) agree.",
+        }
+        os.makedirs(OUT_DIR, exist_ok=True)
+        path = os.path.join(OUT_DIR, "ab_state_store_pressure.json")
+        with open(path, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(json.dumps({k: v for k, v in artifact.items() if k != "arms"}))
+        print(json.dumps(arms))
+        print(f"wrote {os.path.normpath(path)}")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def ab_shingle_tokenize(spark, docs_n: int, reps: int, words_n: int = 50) -> None:
     """r4 shingle-stage rewrite: tokenizing INSIDE the transform lambda
     re-evaluates the regex-normalize + split once per array ELEMENT
@@ -408,7 +522,7 @@ def ab_infer_filter_pushdown(spark, docs_n: int, reps: int, words_n: int = 50) -
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "state_store"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "state_store", "state_store_pressure"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -418,7 +532,21 @@ def main() -> int:
     ap.add_argument("--words", type=int, default=50,
                     help="shingle_tokenize: words per synthetic document")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--heap", default="1g",
+                    help="state_store_pressure: child-JVM heap (SPARK_GRAFT_DRIVER_MEM)")
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="state_store_pressure: per-arm wall-clock cap in seconds")
+    ap.add_argument("--pressure-child", nargs=3, metavar=("BACKEND", "WAL", "ROOT"),
+                    help="internal: run one state_store_pressure arm in this process")
     args = ap.parse_args()
+
+    if args.pressure_child:
+        _pressure_child(args.pressure_child[0], args.pressure_child[1],
+                        args.pressure_child[2], args.cpus)
+        return 0
+    if args.which == "state_store_pressure":
+        ab_state_store_pressure(args.events, args.heap, args.cpus, args.timeout)
+        return 0
 
     from odibel_spark import get_spark
 
