@@ -77,6 +77,18 @@ def test_multimodal_plumbing(spark, sf_dir):
     per_doc = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in per_doc)  # 64 bytes / 16
 
+    # video parity: the fake path runs the identical plumbing (schema,
+    # batch shape, frame sampling) for media_type='video', so a
+    # pipeline developed against it only swaps decode='real' (PyAV-
+    # guarded) where codecs exist
+    vmedia = attach_fake_media(d, "doc_id", media_type="video")
+    assert vmedia.select("media_meta.media_type").distinct().collect()[0][0] == "video"
+    vfeats = extract_media_features(vmedia, "doc_id", decode="fake", media_type="video")
+    vrows = vfeats.collect()
+    assert sorted(map(tuple, vrows)) == sorted(map(tuple, rows))  # same bytes → same features
+    vframes = sample_frames(vmedia, "doc_id", every_n_bytes=16)
+    assert all(r["count"] == 4 for r in vframes.groupBy("doc_id").count().collect())
+
 
 def test_as_of_join_kernel(spark):
     """Boundary semantics: state at exactly the query ts is visible
