@@ -276,7 +276,21 @@ def _pressure_child(backend: str, wal: str, root: str, cpus: int) -> None:
     """Child JVM for ab_state_store_pressure: run the MoR pipeline with
     the given state-store backend under the heap the parent pinned via
     SPARK_GRAFT_DRIVER_MEM, print one JSON line. Exits nonzero (or the
-    JVM aborts) when the backend can't sustain the state."""
+    JVM aborts) when the backend can't sustain the state.
+
+    Two knobs are load-bearing, each killing one confound:
+    - ``max_files_per_trigger=1``: one WAL file per micro-batch keeps
+      the per-batch shuffle working set far under the pinned heap (the
+      first recording used one-batch ingestion and both arms OOMed in
+      the ingest shuffle before state size ever mattered).
+    - ``watermark_delay="36500 days"``: the synthetic WAL's event time
+      advances ~1 s/event, so the default 300 s watermark evicts each
+      batch's dedup state as the next batch arrives and the store
+      never grows past ~events/16 entries (the second recording: both
+      arms finished comfortably). An effectively-infinite delay keeps
+      every (conv_id, turn_idx, lsn) entry live, so state climbs to
+      `events` entries by the final batch — the actual variable under
+      test."""
     from odibel_spark import get_spark
     from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
 
@@ -287,7 +301,8 @@ def _pressure_child(backend: str, wal: str, root: str, cpus: int) -> None:
         PipelineConfig(
             wal_dirs=[wal], table_root=os.path.join(root, "tbl"),
             checkpoint_dir=os.path.join(root, "ckpt"), buckets=cpus,
-            merge_mode="mor", max_files_per_trigger=None, state_store=backend,
+            merge_mode="mor", max_files_per_trigger=1, state_store=backend,
+            watermark_delay="36500 days",
         ),
     )
     p.run_available()
@@ -301,11 +316,14 @@ def ab_state_store_pressure(events: int, heap: str, cpus: int, timeout_s: int) -
     """The RocksDB backend's REASON TO EXIST (r4 VERDICT item #4):
     ab_state_store showed only the overhead case (state fits in heap,
     RocksDB 0.88×). Here every event carries a DISTINCT conv_id, so the
-    in-stream dedup holds `events` state entries in ONE micro-batch,
-    and each arm runs in its own child JVM whose heap is pinned small
+    in-stream dedup accumulates `events` state entries over the run,
+    fed one WAL file per micro-batch (events/16 rows each — small
+    enough that no single batch's working set presses the heap), and
+    each arm runs in its own child JVM whose heap is pinned small
     (SPARK_GRAFT_DRIVER_MEM — local mode, so driver heap IS the
-    executor heap). The heap-backed HDFS provider keeps the state map
-    on-heap and degrades/aborts; RocksDB keeps it native and sustains.
+    executor heap). The heap-backed HDFS provider keeps the full state
+    map on-heap and degrades/aborts as state grows; RocksDB keeps it
+    native/on-disk and sustains.
 
     Protocol deviates from run_ab on purpose: arms NEED separate JVMs
     (heap is a JVM-launch knob), and the comparison is
@@ -320,7 +338,7 @@ def ab_state_store_pressure(events: int, heap: str, cpus: int, timeout_s: int) -
         spark = get_spark("ab-pressure-gen", cpus=cpus, shuffle_partitions=cpus * 2)
         wal = write_wal_files(
             spark, WalConfig(n_events=events, n_convs=events, seed=42),
-            os.path.join(base, "wal"), n_files=max(8, cpus // 2),
+            os.path.join(base, "wal"), n_files=16,
         )
         spark.stop()  # children get the host to themselves
         arms = {}
@@ -363,16 +381,20 @@ def ab_state_store_pressure(events: int, heap: str, cpus: int, timeout_s: int) -
                 }
         artifact = {
             "name": "state_store_pressure",
-            "protocol": "one child JVM per arm, heap pinned via SPARK_GRAFT_DRIVER_MEM; "
-                        "survive-vs-degrade comparison (separate JVMs required, so not "
-                        "interleaved — the interleaved overhead case is ab_state_store)",
+            "protocol": "one child JVM per arm, heap pinned via SPARK_GRAFT_DRIVER_MEM, "
+                        "16 WAL files fed one per micro-batch (maxFilesPerTrigger=1) so "
+                        "only accumulated state — not per-batch working set — presses the "
+                        "heap; survive-vs-degrade comparison (separate JVMs required, so "
+                        "not interleaved — the interleaved overhead case is ab_state_store)",
             "events": events, "distinct_convs": events, "heap": heap, "cpus": cpus,
-            "timeout_s": timeout_s,
+            "timeout_s": timeout_s, "watermark_delay": "36500 days",
+            "files_per_trigger": 1, "wal_files": 16,
             "arms": arms,
             "note": "every event is its own conv_id, so the watermarked in-stream dedup "
-                    "holds `events` state entries in one micro-batch. The crossover: the "
-                    "heap-backed provider must fail or degrade past timeout while RocksDB "
-                    "completes and both-arm row counts (when both finish) agree.",
+                    "accumulates `events` state entries across 16 micro-batches of "
+                    "events/16 rows each. The crossover: the heap-backed provider must "
+                    "fail or degrade past timeout while RocksDB completes and both-arm "
+                    "row counts (when both finish) agree.",
         }
         os.makedirs(OUT_DIR, exist_ok=True)
         path = os.path.join(OUT_DIR, "ab_state_store_pressure.json")
