@@ -42,8 +42,11 @@ HEADLINE_REPS = max(1, int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "3")))
 #: within-run kernel swung 11.8 → 21.7 Miters/s and 1.3-2× per-query
 #: "drifts" appeared on unchanged code.
 NORM_BASIS_MITERS = 15.0
-#: seconds per fixedwork bracket sample (one before every timed query
-#: + one closing sample; ~10 s total overhead on a ~200 s bench)
+#: seconds per fixedwork bracket sample (one IMMEDIATELY before and one
+#: IMMEDIATELY after every timed query — ~18 s total overhead on a
+#: ~100 s bench; chaining post to the next query's pre sample was
+#: cheaper but let untimed work between queries, e.g. the 1M-event WAL
+#: generation, shift a query's window to host speed it never ran under)
 BRACKET_SECONDS = 0.4
 
 ANALYTICS = [
@@ -153,25 +156,26 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     # Per-query host normalization (r4 VERDICT item #1): every timed
-    # query is BRACKETED by a fixedwork kernel sample — the sample
-    # before query i and the sample before query i+1 (or the phase
-    # close) straddle its window, and their mean converts the raw wall
-    # time into seconds-at-NORM_BASIS_MITERS. Raw times stay in
-    # "queries" (the driver contract); normalized times + the brackets
-    # go in "queries_norm_sec" / "queries_bracket_miters". The kernel
-    # is single-core, so it tracks interpreter/CPU-frequency swings but
+    # query is BRACKETED by its own pre and post fixedwork kernel
+    # samples, taken immediately around the query so no untimed work
+    # (WAL generation, reference kernels, rmtree) can land inside the
+    # window; their mean converts the raw wall time into
+    # seconds-at-NORM_BASIS_MITERS. Raw times stay in "queries" (the
+    # driver contract); normalized times + the brackets go in
+    # "queries_norm_sec" / "queries_bracket_miters". The kernel is
+    # single-core, so it tracks interpreter/CPU-frequency swings but
     # NOT multi-core neighbor steal — normalized values still carry
     # that residual noise mode (the MoR headline keeps its separate
     # multi-core normalizer for exactly that reason).
-    bracket_order: list[str] = []
     bracket_pre: dict[str, float] = {}
+    bracket_post: dict[str, float] = {}
 
     def run_timed(name: str, fn) -> float:
         bracket_pre[name] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
-        bracket_order.append(name)
         t0 = time.time()
         fn()
         sec = round(time.time() - t0, 3)
+        bracket_post[name] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
         queries[name] = sec
         return sec
 
@@ -245,13 +249,14 @@ def main() -> None:
             pm.run_available()
 
         # the MoR group is bracketed as ONE timed entry (best-of reps
-        # is the recorded value; the group's brackets straddle all reps)
+        # is the recorded value; the group's brackets straddle all reps,
+        # with the post sample taken BEFORE the multicore burn below)
         bracket_pre["cdc_merge_pipeline_mor"] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
-        bracket_order.append("cdc_merge_pipeline_mor")
         for rep in range(HEADLINE_REPS):
             t0 = time.time()
             _mor_rep(rep)
             mor_reps.append(round(time.time() - t0, 3))
+        bracket_post["cdc_merge_pipeline_mor"] = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
         pipe_mor_s = min(mor_reps)
         queries["cdc_merge_pipeline_mor"] = pipe_mor_s
         # multi-core capacity in the SAME window as the headline reps
@@ -262,20 +267,13 @@ def main() -> None:
     total = round(time.time() - t_all, 3)
     miters = cpu_reference_miters()
     miters_fw = cpu_reference_miters_fixedwork()
-    # closing bracket: the post-sample for the last timed query
-    closing_bracket = cpu_reference_miters_fixedwork(BRACKET_SECONDS)
     queries_norm: dict[str, float] = {}
     brackets_out: dict[str, list[float]] = {}
-    for i, name in enumerate(bracket_order):
-        pre = bracket_pre[name]
-        post = (
-            bracket_pre[bracket_order[i + 1]]
-            if i + 1 < len(bracket_order)
-            else closing_bracket
-        )
+    for name, sec in queries.items():
+        pre, post = bracket_pre[name], bracket_post[name]
         window = (pre + post) / 2.0
         brackets_out[name] = [round(pre, 1), round(post, 1)]
-        queries_norm[name] = round(queries[name] * window / NORM_BASIS_MITERS, 3)
+        queries_norm[name] = round(sec * window / NORM_BASIS_MITERS, 3)
     out = {
         # headline = the BASELINE.json north metric: sustained
         # change-events/sec through the full exactly-once streaming

@@ -99,6 +99,16 @@ def _cache_scoped(df: DataFrame) -> DataFrame:
     return df
 
 
+def _collapse_from_probe(n: int, d: int) -> bool:
+    """The ``"auto"`` decision given a probe's (row count, distinct
+    fingerprint count): collapse unless the sample is essentially
+    clean. Shared by ``_resolve_collapse`` and the fused dim+dup probe
+    in ``embedding_lsh_candidates`` so the threshold lives once."""
+    if n == 0:
+        return False  # empty input: both arms are trivially identical
+    return (d / n) < COLLAPSE_AUTO_MIN_DISTINCT
+
+
 def _resolve_collapse(
     docs: DataFrame,
     fingerprint: F.Column,
@@ -132,28 +142,28 @@ def _resolve_collapse(
         .agg(F.count("*").alias("n"), F.count_distinct("_fp").alias("d"))
         .first()
     )
-    n = row["n"] or 0
-    if n == 0:
-        return False  # empty input: both arms are trivially identical
-    return (row["d"] / n) < COLLAPSE_AUTO_MIN_DISTINCT
+    return _collapse_from_probe(row["n"] or 0, row["d"] or 0)
 
 
 def _vector_dim_hint(emb: DataFrame, vec_col: str) -> int | None:
     """Fixed embedding width from the column's schema METADATA, when a
-    producer recorded one (``dim``/``size``/``length`` key — e.g.
-    ``df.select(F.col("v").alias("v", metadata={"dim": 768}))``).
+    producer recorded one under the key ``"dim"`` — e.g.
+    ``df.select(F.col("v").alias("v", metadata={"dim": 768}))``.
     Spark array types carry no length, so this is an opt-in hint that
     lets ``embedding_lsh_candidates`` stay fully lazy without the
     caller passing ``dim``; absent or malformed metadata returns None
-    and the eager ``.first()`` probe remains the last resort."""
+    and the probe remains the last resort. ONLY the exact documented
+    key is honored: generic keys like ``size``/``length`` routinely
+    mean something other than vector width, and a wrong width here is
+    silent poison — ``zip_with`` null-pads the mismatch, the dot
+    product folds to NULL, and every signature collapses to 0."""
     try:
         meta = emb.schema[vec_col].metadata or {}
     except Exception:
         return None
-    for key in ("dim", "size", "length"):
-        v = meta.get(key)
-        if isinstance(v, int) and not isinstance(v, bool) and v > 0:
-            return v
+    v = meta.get("dim")
+    if isinstance(v, int) and not isinstance(v, bool) and v > 0:
+        return v
     return None
 
 
@@ -175,14 +185,30 @@ def exact_duplicates(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimized-logical-plan size estimate in bytes — a driver-side
+    stats read, never a Spark job and never an RDD conversion
+    (``.rdd`` forces physical planning + a conversion boundary into
+    every downstream plan). Returns None when the py4j stats API is
+    unavailable. Stats-LESS plans (e.g. RDD-backed) report
+    Long.MaxValue — that sentinel is returned as-is, not mapped to
+    None, so callers can distinguish "unknown size" from "no stats
+    API". The one place the fragile ``_jdf.queryExecution()`` idiom
+    lives; keep it that way."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int | None:
     """Rough scan width from the *logical* plan's size statistics —
-    driver-side only, never a Spark job and never an RDD conversion
-    (``.rdd`` forces physical planning + a conversion boundary into
-    every downstream plan). At 100 TB the estimate is huge and the
-    re-spread below is skipped for free."""
+    driver-side only (see ``_plan_size_bytes``). At 100 TB the
+    estimate is huge and the re-spread below is skipped for free."""
+    size = _plan_size_bytes(df)
+    if size is None:
+        return None
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         mpb = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
         return max(1, -(-size // max(mpb, 1)))
@@ -417,14 +443,14 @@ def minhash_lsh_candidates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool | str = True,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """LSH banding: split the K-signature into ``bands`` bands of
     k/bands rows; documents sharing any full band become candidate
     pairs (id_a < id_b, distinct). The band join is the only shuffle
     that touches pairs, and it only materializes colliding ones.
 
-    Skew guard (``collapse=True``, the default): exact duplicates are
+    Skew guard (``collapse=True``): exact duplicates are
     collapsed to one representative per content fingerprint BEFORE
     shingling (``_fingerprint_collapse`` — output-equivalent, see its
     docstring), so mass-duplicate clusters cost one member each in
@@ -439,13 +465,18 @@ def minhash_lsh_candidates(
     plus two narrow re-expansion joins, and wins big (5.5× on the
     mass-dup A/B fixture, BENCH/ab_lsh_mass_dup.json) whenever exact
     duplicates are common, because duplicates skip the shingle/
-    signature compute AND can't blow up bucket tasks. On a corpus KNOWN
-    to be mostly exact-distinct (e.g. already exact-deduped upstream),
-    pass ``collapse=False`` to skip that shuffle; the bucket cap then
-    counts DOCUMENTS, not distinct fingerprints, so mass duplicates
-    overflow buckets instead of pairing — only safe post-exact-dedup.
-    ``collapse="auto"`` picks the arm from a sampled duplicate-rate
-    probe (one bounded eager job — see ``_resolve_collapse``)."""
+    signature compute AND can't blow up bucket tasks. On a corpus
+    mostly exact-distinct (e.g. already exact-deduped upstream) the
+    collapse shuffle is pure overhead (~2.6×,
+    BENCH/ab_lsh_clean_corpus.json); ``collapse="auto"`` — the default
+    — picks the arm from a sampled duplicate-rate probe, costing ONE
+    bounded eager job (≤ ``COLLAPSE_PROBE_ROWS`` rows, see
+    ``_resolve_collapse``) at pipeline-assembly time. Pass an explicit
+    boolean to skip the probe and keep assembly fully lazy: False when
+    the corpus is known clean (the cap then counts DOCUMENTS, not
+    distinct fingerprints, so mass duplicates overflow buckets instead
+    of pairing — only safe post-exact-dedup), True when duplicates are
+    known-pervasive or hidden outside the probed prefix."""
     clear_dedup_caches()
     collapse = _resolve_collapse(docs, document_fingerprint(F.col(text_col)), collapse)
     if not collapse:
@@ -570,7 +601,7 @@ def minhash_near_duplicates(
     bands: int = MINHASH_BANDS,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool | str = True,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """Scale-path near-dup: LSH candidates → exact Jaccard verification
     restricted to candidates (semi-join pushes the filter into the
@@ -583,10 +614,10 @@ def minhash_near_duplicates(
     normalized text means identical shingle sets — instead of flooding
     the LSH buckets. See ``minhash_lsh_candidates`` for the
     ``max_bucket_size`` residual-skew cap and the ``collapse``
-    performance knob (False skips the fingerprint shuffle — safe on
+    performance knob: ``"auto"`` (the default) probes the sampled
+    duplicate rate; False skips the fingerprint shuffle — safe on
     corpora already exact-deduped upstream; identical docs then verify
-    through the buckets at jaccard 1.0 instead of re-expanding) and the
-    ``"auto"`` sampled-probe mode."""
+    through the buckets at jaccard 1.0 instead of re-expanding."""
     clear_dedup_caches()
     collapse = _resolve_collapse(docs, document_fingerprint(F.col(text_col)), collapse)
     if not collapse:
@@ -688,10 +719,7 @@ def benchmark_contamination(
     )
     b_sh = word_shingles(benchmark, bench_id, bench_text, n).withColumnRenamed(bench_id, "_bid")
     if broadcast_benchmark == "auto":
-        try:
-            est = int(b_sh._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        except Exception:
-            est = None
+        est = _plan_size_bytes(b_sh)
         # stats-less plans report Long.MaxValue ("unknown", not
         # "huge"); only a KNOWN over-cap estimate drops the hint
         broadcast_benchmark = est is None or est >= 2**60 or est < broadcast_cap_bytes
@@ -803,7 +831,7 @@ def embedding_lsh_candidates(
     dim: int | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     observation=None,
-    collapse: bool | str = True,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """Banded LSH over hyperplane signatures: two vectors are candidate
     near-duplicates if any band of sign-bits matches exactly. Replaces
@@ -812,8 +840,11 @@ def embedding_lsh_candidates(
     exact cosine afterwards.
 
     Pass ``dim`` (the embedding width — the caller's schema knows it)
-    to keep plan construction fully lazy; the ``.first()`` probe
-    fallback launches a Spark job per pipeline assembly.
+    and an explicit ``collapse`` boolean to keep plan construction
+    fully lazy. When ``dim`` is omitted (and no ``{"dim": n}`` column
+    metadata hint is present) AND ``collapse="auto"``, both unknowns
+    are resolved by ONE fused bounded probe (width + duplicate rate in
+    a single ≤``COLLAPSE_PROBE_ROWS``-row job), not two.
 
     Skew guard mirrors the MinHash path: byte-identical vectors are
     collapsed to one representative per value fingerprint before
@@ -822,15 +853,13 @@ def embedding_lsh_candidates(
     are dropped with the count observed under a per-call
     ``LSH_CAP_METRIC``-prefixed metric name. See
     ``minhash_lsh_candidates`` for the ``collapse`` performance knob
-    (False skips the fingerprint shuffle; the cap then counts vectors,
-    not distinct values — safe only post-exact-dedup) and the
-    ``"auto"`` sampled-probe mode."""
+    (``"auto"``, the default, probes the sampled duplicate rate; False
+    skips the fingerprint shuffle; the cap then counts vectors,
+    not distinct values — safe only post-exact-dedup)."""
     if dim is None:
         # fixed-width hint first (attach via .alias(metadata={"dim": n})
-        # or any writer that records it); else the eager .first() probe
+        # or any writer that records it); else the bounded probe below
         dim = _vector_dim_hint(emb, vec_col)
-    if dim is None:  # fallback probe — an eager job; prefer passing dim
-        dim = int(emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     clear_dedup_caches()
     # xxhash64 over (null-sentineled values, null mask) — NOT md5 of a
     # string concat: serializing every vector element to text twice per
@@ -845,6 +874,32 @@ def embedding_lsh_candidates(
         F.transform(F.col(vec_col), lambda x: F.coalesce(x, F.lit(float("nan")))),
         F.transform(F.col(vec_col), lambda x: x.isNull()),
     )
+    if dim is None and collapse == "auto":
+        # fused probe: vector width AND duplicate rate from one bounded
+        # job instead of two driver round-trips over the same prefix
+        row = (
+            emb.select(vec_fp.alias("_fp"), F.size(F.col(vec_col)).alias("_w"))
+            .limit(COLLAPSE_PROBE_ROWS)
+            .agg(
+                F.count("*").alias("n"),
+                F.count_distinct("_fp").alias("d"),
+                F.first("_w").alias("w"),
+            )
+            .first()
+        )
+        if not row["n"]:
+            raise ValueError(
+                f"cannot infer embedding width from empty input; pass dim= to {vec_col!r}'s LSH"
+            )
+        dim = int(row["w"])
+        collapse = _collapse_from_probe(row["n"], row["d"] or 0)
+    elif dim is None:  # fallback probe — an eager job; prefer passing dim
+        head = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if head is None:
+            raise ValueError(
+                f"cannot infer embedding width from empty input; pass dim= to {vec_col!r}'s LSH"
+            )
+        dim = int(head["d"])
     collapse = _resolve_collapse(emb, vec_fp, collapse)
     if not collapse:
         planes = random_hyperplanes(dim, n_planes, seed)

@@ -82,23 +82,25 @@ def _assign_expr(qvec, centers: list[list[float]], scale: int) -> F.Column:
     return F.array_min(F.array(*cands))["j"]
 
 
-def _centers_relation(spark, centers: list[list[float]]):
+def _centers_relation(spark, centers: list[list[float]], col_name: str):
     """The trained centers as a ONE-ROW DataFrame holding one
     array<array<double>> cell — broadcast-joined to the vectors so the
     plan stays O(1) in k·dim instead of folding every center value in
     as a literal node. A BroadcastNestedLoopJoin against a single-row
-    side is a map-side column attach, not a data-size cross join."""
+    side is a map-side column attach, not a data-size cross join.
+    ``col_name`` is chosen by the caller to not collide with any input
+    column (the join would otherwise make the reference ambiguous)."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
-        [T.StructField("_centers", T.ArrayType(T.ArrayType(T.DoubleType())), False)]
+        [T.StructField(col_name, T.ArrayType(T.ArrayType(T.DoubleType())), False)]
     )
     return spark.createDataFrame([([[float(c) for c in cen] for cen in centers],)], schema)
 
 
-def _assign_broadcast_expr(qvec, k: int, scale: int) -> F.Column:
-    """Argmin-distance cluster id against the ``_centers`` column of a
-    joined one-row centers relation. IDENTICAL arithmetic to
+def _assign_broadcast_expr(qvec, k: int, scale: int, centers_col: str) -> F.Column:
+    """Argmin-distance cluster id against the ``centers_col`` column of
+    a joined one-row centers relation. IDENTICAL arithmetic to
     ``_assign_expr`` — same quantize/divide, same left-to-right
     sequential fold per dimension, same struct-ordered tie-break to the
     smallest cluster id — so both paths produce bit-equal assignments
@@ -106,7 +108,7 @@ def _assign_broadcast_expr(qvec, k: int, scale: int) -> F.Column:
     dv = F.transform(qvec, lambda q: q / F.lit(float(scale)))
 
     def dist(j):
-        cen = F.element_at(F.col("_centers"), j + 1)
+        cen = F.element_at(F.col(centers_col), j + 1)
         return F.aggregate(
             F.zip_with(dv, cen, lambda x, c: (x - c) * (x - c)),
             F.lit(0.0),
@@ -160,9 +162,12 @@ def kmeans_train(
     how = _resolve_assign_method(method, k, len(centers[0]))
     for _ in range(iters):
         if how == "broadcast":
+            # q has only internal columns (_id/_qv), so "_centers" can't collide
             assigned = q.crossJoin(
-                F.broadcast(_centers_relation(emb.sparkSession, centers))
-            ).select(_assign_broadcast_expr(F.col("_qv"), k, scale).alias("_c"), "_qv")
+                F.broadcast(_centers_relation(emb.sparkSession, centers, "_centers"))
+            ).select(
+                _assign_broadcast_expr(F.col("_qv"), k, scale, "_centers").alias("_c"), "_qv"
+            )
         else:
             assigned = q.select(_assign_expr(F.col("_qv"), centers, scale).alias("_c"), "_qv")
         sums = (
@@ -209,13 +214,21 @@ def kmeans_assign(
       center cells, broadcast past it."""
     how = _resolve_assign_method(method, len(centers), len(centers[0]) if centers else 0)
     if how == "broadcast":
+        # pick a centers column name that can't collide with the input
+        # (a user "_centers" column would make the reference ambiguous
+        # and .drop() would strip their data)
+        ccol = "_centers"
+        while ccol in emb.columns:
+            ccol = "_" + ccol
         return (
-            emb.crossJoin(F.broadcast(_centers_relation(emb.sparkSession, centers)))
+            emb.crossJoin(F.broadcast(_centers_relation(emb.sparkSession, centers, ccol)))
             .withColumn(
                 "cluster",
-                _assign_broadcast_expr(_quantize(F.col(vec_col), scale), len(centers), scale),
+                _assign_broadcast_expr(
+                    _quantize(F.col(vec_col), scale), len(centers), scale, ccol
+                ),
             )
-            .drop("_centers")
+            .drop(ccol)
         )
     return emb.withColumn(
         "cluster", _assign_expr(_quantize(F.col(vec_col), scale), centers, scale)

@@ -505,6 +505,50 @@ def test_kmeans_assign_broadcast_matches_literal(spark):
     assert len(bc_plan) < 50_000
 
 
+def test_kmeans_assign_broadcast_survives_centers_column_collision(spark):
+    """A user DataFrame that already carries a ``_centers`` column must
+    not break (ambiguous reference) or lose its column (the internal
+    drop) on the broadcast path — the relation's column is renamed
+    around the collision."""
+    from odibel_spark.functions.kmeans import kmeans_assign
+
+    import pyspark.sql.functions as SF
+
+    emb = spark.range(20).select(
+        SF.col("id").alias("vec_id"),
+        SF.transform(SF.sequence(SF.lit(1), SF.lit(4)), lambda j: (SF.col("id") * j).cast("double")).alias("embedding"),
+        SF.lit("user-data").alias("_centers"),
+    )
+    centers = [[0.0, 0.0, 0.0, 0.0], [20.0, 40.0, 60.0, 80.0]]
+    out = kmeans_assign(emb, centers, "vec_id", "embedding", method="broadcast")
+    rows = out.orderBy("vec_id").collect()
+    assert out.columns.count("_centers") == 1  # the user's column, kept
+    assert all(r["_centers"] == "user-data" for r in rows)
+    lit = kmeans_assign(emb, centers, "vec_id", "embedding", method="literal")
+    assert [r["cluster"] for r in rows] == [
+        r["cluster"] for r in lit.orderBy("vec_id").collect()
+    ]
+
+
+def test_vector_dim_hint_honors_only_documented_key(spark):
+    """Only the documented ``{"dim": n}`` metadata key sets the width:
+    generic ``size``/``length`` keys routinely mean something else, and
+    a wrong width silently zeroes every LSH signature (zip_with
+    null-pads, the dot product folds to NULL)."""
+    from odibel_spark.functions.dedup import _vector_dim_hint
+
+    import pyspark.sql.functions as SF
+
+    base = spark.range(3).select(
+        SF.transform(SF.sequence(SF.lit(1), SF.lit(6)), lambda j: j.cast("double")).alias("v")
+    )
+    hinted = base.select(SF.col("v").alias("v", metadata={"dim": 6}))
+    assert _vector_dim_hint(hinted, "v") == 6
+    for bad in ({"size": 512}, {"length": 512}, {"dim": -1}, {"dim": True}, {}):
+        df = base.select(SF.col("v").alias("v", metadata=bad))
+        assert _vector_dim_hint(df, "v") is None, bad
+
+
 def test_ivf_recall_floor_on_clustered_vectors(spark, sf_dir):
     """r4 VERDICT item #5: measure the one property an ANN user cares
     about — recall@k vs the exact scan. On a corpus with genuine

@@ -114,10 +114,19 @@ def test_interval_marks_no_shuffle(spark, sf_dir):
 
 
 def test_lsh_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
-    """Assembling the dedup/LSH pipelines must not launch Spark jobs or
-    force RDD conversion (each would cost a driver round-trip per
-    pipeline assembly at scale): .first()/.collect()/.rdd are poisoned
-    while the plans are built."""
+    """Assembling the dedup/LSH pipelines with EXPLICIT knobs must not
+    launch Spark jobs or force RDD conversion (each would cost a driver
+    round-trip per pipeline assembly at scale): .first()/.collect()/
+    .rdd are poisoned while the plans are built.
+
+    The one documented exception is the ``collapse="auto"`` DEFAULT,
+    which buys its arm choice with a single bounded probe
+    (≤ COLLAPSE_PROBE_ROWS rows — a deliberate trade: one tiny job at
+    assembly vs a 2.6–5× wrong-arm corpus pass, see
+    BENCH/ab_lsh_{mass_dup,clean_corpus}.json). Callers who need
+    fully-lazy assembly pass an explicit boolean, which is exactly what
+    this test pins; the auto probe's own behavior is covered by
+    test_collapse_auto_probe_picks_arm_and_preserves_pairs."""
     from pyspark.sql import DataFrame
 
     from odibel_spark.functions import dedup as D
@@ -134,9 +143,14 @@ def test_lsh_plan_construction_is_lazy(spark, sf_dir, monkeypatch):
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
     plans = [
-        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4),
-        D.minhash_near_duplicates(docs, "doc_id", "text", n=2, threshold=0.1, k=8, bands=4),
-        D.embedding_lsh_candidates(emb, "vec_id", "embedding", n_planes=16, bands=2, dim=64),
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4, collapse=True),
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4, collapse=False),
+        D.minhash_near_duplicates(
+            docs, "doc_id", "text", n=2, threshold=0.1, k=8, bands=4, collapse=True
+        ),
+        D.embedding_lsh_candidates(
+            emb, "vec_id", "embedding", n_planes=16, bands=2, dim=64, collapse=True
+        ),
     ]
     for df in plans:  # plan analysis itself must also stay action-free
         df.explain(mode="cost")

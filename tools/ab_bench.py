@@ -19,7 +19,9 @@ Usage:
     python tools/ab_bench.py shingle_tokenize [--docs 20000] [--words 50] [--reps 3]
     python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
     python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
-    python tools/ab_bench.py state_store_pressure [--events 3000000] [--heap 1g] [--timeout 900]
+    python tools/ab_bench.py state_store_pressure --events 8000000 --heap 2g --timeout 2100
+        (argparse defaults are 1M/1g/900 — too light for the heap arm
+        to OOM; the recorded artifact's invocation is the line above)
 """
 
 from __future__ import annotations
