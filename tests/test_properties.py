@@ -1,0 +1,190 @@
+"""Property-based tests (hypothesis): randomized inputs against pure
+Python oracles for the semantics the whole engine leans on.
+
+The fixture-based suites pin behavior on designed shapes; these pin it
+on shapes nobody designed — random event soups (nulls, bad ops,
+deletes), random token distributions, random duplicate structures.
+Each property keeps the generated input SMALL (a Spark action per
+example is the cost ceiling) and the example count modest; shrinking
+still gives a minimal counterexample on failure.
+
+Oracles here are deliberately naive Python folds — independent of both
+Spark and the DuckDB SQL used by the driver gate, so a bug shared by
+the two fast paths can't hide.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import pyspark.sql.functions as F
+
+PROP_SETTINGS = dict(
+    deadline=None,  # Spark actions: seconds, not milliseconds
+    max_examples=12,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    # session-scoped SparkSession is intentionally shared across examples
+    # (starting a JVM per example would be absurd); examples are
+    # stateless apart from it
+    print_blob=True,
+)
+
+# ---------------------------------------------------------------- P1: LWW
+
+EVENT_SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp"
+)
+
+_BASE_TS = datetime.datetime(2025, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["insert", "update", "delete", "merge", "noop"]),  # 2 poison ops
+        st.one_of(st.none(), st.sampled_from(["c0", "c1", "c2"])),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+        st.one_of(st.none(), st.sampled_from(["hello", "world", ""])),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _lww_oracle(rows):
+    """Naive Python replay: dead-letter split -> per-key max-LSN winner
+    -> drop delete winners. Mirrors replay.dead_letter_predicate and
+    current_state exactly, from first principles."""
+    state = {}
+    ok = [
+        r
+        for r in rows
+        if r["op"] in ("insert", "update", "delete")
+        and r["conv_id"] is not None
+        and r["turn_idx"] is not None
+        and r["lsn"] is not None
+        and not (r["op"] != "delete" and r["text"] is None)
+    ]
+    for r in ok:
+        key = (r["conv_id"], r["turn_idx"])
+        if key not in state or r["lsn"] > state[key]["lsn"]:
+            state[key] = r
+    return {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["lsn"])
+        for r in state.values()
+        if r["op"] != "delete"
+    }
+
+
+@settings(**PROP_SETTINGS)
+@given(data=events_strategy, parts=st.integers(min_value=1, max_value=5))
+def test_current_state_matches_python_oracle(spark, data, parts):
+    """current_state == the naive Python fold, for ANY event soup
+    (poison ops, null keys/payloads, deletes, any partitioning). LSNs
+    are assigned uniquely by position — the documented WAL contract —
+    so the winner per key is well-defined; partitioning must not
+    matter because the fold is one keyed max_by."""
+    from odibel_spark.cdc.replay import current_state
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA).repartition(parts)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+        for r in current_state(df).collect()
+    }
+    assert got == _lww_oracle(rows)
+
+
+# ------------------------------------------------------------ P2: packing
+
+docs_strategy = st.lists(
+    st.integers(min_value=0, max_value=90),  # token counts around max_tokens=50
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(tokens=docs_strategy, buckets=st.integers(min_value=1, max_value=4))
+def test_pack_documents_invariants(spark, tokens, buckets):
+    """For ANY token distribution: every document lands in exactly one
+    pack; every pack's total fits max_tokens unless it is a single
+    oversize document; oversize <=> n_tokens > max_tokens."""
+    from odibel_spark.functions.packing import pack_documents
+
+    max_tokens = 50
+    rows = [(f"d{i:03d}", t) for i, t in enumerate(tokens)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tokens long")
+    out = pack_documents(df, "doc_id", "n_tokens", max_tokens=max_tokens, buckets=buckets).collect()
+
+    assert sorted(r["doc_id"] for r in out) == sorted(r[0] for r in rows)
+    by_doc = {r["doc_id"]: r for r in out}
+    for doc_id, t in rows:
+        assert by_doc[doc_id]["oversize"] == (t > max_tokens)
+    packs = {}
+    for r in out:
+        packs.setdefault((r["bucket"], r["pack_seq"]), []).append(r)
+    for members in packs.values():
+        total = sum(r["n_tokens"] for r in members)
+        if total > max_tokens:
+            # only legal as a single oversize document in its own pack
+            assert len(members) == 1 and members[0]["oversize"]
+
+
+# ------------------------------------------- P3: LSH collapse arm parity
+
+corpus_strategy = st.lists(
+    # texts from a tiny phrase pool -> guaranteed duplicate AND
+    # near-duplicate structure at random rates
+    st.sampled_from(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "pack my box with five dozen liquor jugs",
+            "pack my box with five dozen water jugs",
+            "sphinx of black quartz judge my vow",
+        ]
+    ),
+    min_size=2,
+    max_size=30,
+)
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(texts=corpus_strategy)
+def test_lsh_collapse_arms_agree_on_random_corpora(spark, texts):
+    """The collapse knob is a pure performance choice: for ANY random
+    duplicate structure (no bucket overflow at this scale) the
+    collapsed and uncollapsed arms — and therefore whatever arm the
+    auto probe picks — produce the identical candidate pair set."""
+    from odibel_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    with_c = pairs(
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4, collapse=True)
+    )
+    without_c = pairs(
+        D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4, collapse=False)
+    )
+    assert with_c == without_c
