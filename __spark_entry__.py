@@ -1405,7 +1405,7 @@ SELECT COALESCE(b.user_id, a.user_id) AS user_id,
        COALESCE(b.event_type, a.event_type) AS event_type,
        CASE WHEN a.user_id IS NULL THEN 1 WHEN b.user_id IS NULL THEN -1 ELSE 0 END AS diff,
        CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
-            THEN NOT (b.value = a.value OR (b.value IS NULL AND a.value IS NULL))
+            THEN (b.value IS DISTINCT FROM a.value)
        END AS changed
 FROM snap_b b FULL OUTER JOIN snap_a a USING (user_id, event_type)
 """

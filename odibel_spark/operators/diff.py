@@ -27,7 +27,11 @@ def snapshot_diff(
 ) -> DataFrame:
     """Classify keys as added/deleted/changed/unchanged between two
     snapshots. Output: key cols + ``diff`` ∈ {1,-1,0} + ``changed``
-    boolean (payload inequality for surviving keys)."""
+    boolean (NULL-SAFE payload inequality for surviving keys: null ==
+    null is unchanged, value↔null transitions are changed=True — a
+    hypothesis property caught the earlier spelling leaking NULL
+    instead of True for one-sided nulls, which a ``changed = true``
+    consumer would silently miss)."""
     compare_cols = compare_cols or [c for c in current.columns if c not in key_cols]
     cur = current.select(*key_cols, *[F.col(c).alias(f"_c_{c}") for c in compare_cols]).withColumn(
         "_in_cur", F.lit(1)
@@ -43,10 +47,7 @@ def snapshot_diff(
     )
     changed = F.lit(False)
     for c in compare_cols:
-        changed = changed | ~(
-            (F.col(f"_c_{c}") == F.col(f"_p_{c}"))
-            | (F.col(f"_c_{c}").isNull() & F.col(f"_p_{c}").isNull())
-        )
+        changed = changed | ~F.col(f"_c_{c}").eqNullSafe(F.col(f"_p_{c}"))
     return j.select(
         *key_cols,
         diff.alias("diff"),

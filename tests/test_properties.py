@@ -188,3 +188,77 @@ def test_lsh_collapse_arms_agree_on_random_corpora(spark, texts):
         D.minhash_lsh_candidates(docs, "doc_id", "text", n=2, k=8, bands=4, collapse=False)
     )
     assert with_c == without_c
+
+
+# --------------------------------------- P4: temporal windows + snapshot
+
+versioned_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k0", "k1", "k2"]),
+        st.integers(min_value=0, max_value=30),  # ts (also drives version order)
+    ),
+    min_size=0,
+    max_size=20,
+    unique=True,  # (key, ts) unique -> versions unique per key
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(data=versioned_strategy, t=st.integers(min_value=-1, max_value=32))
+def test_snapshot_at_matches_python_interval_oracle(spark, data, t):
+    """SCD-2 windows + point query vs a first-principles Python fold:
+    for ANY change feed and ANY query time, the rows valid at t are
+    exactly one per key that has an event at or before t (the key's
+    latest such event — half-open [ts, next_ts) intervals, the last
+    window open-ended)."""
+    from odibel_spark.operators.temporal import build_temporal_windows, snapshot_at
+
+    rows = [(k, ts, ts, f"v-{k}-{ts}") for k, ts in data]
+    df = spark.createDataFrame(rows, "key string, version long, ts long, val string")
+    win = build_temporal_windows(df, ["key"], "version", "ts", value_cols=["val"])
+    got = {(r["key"], r["val"]) for r in snapshot_at(win, t).collect()}
+
+    expected = set()
+    by_key = {}
+    for k, ts in data:
+        by_key.setdefault(k, []).append(ts)
+    for k, tss in by_key.items():
+        valid = [ts for ts in sorted(tss) if ts <= t]
+        if valid:
+            expected.add((k, f"v-{k}-{valid[-1]}"))
+    assert got == expected
+
+
+# ------------------------------------------------- P5: snapshot full diff
+
+state_strategy = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d"]),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    max_size=4,
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(cur=state_strategy, prev=state_strategy)
+def test_snapshot_diff_matches_python_dict_oracle(spark, cur, prev):
+    """Full-outer snapshot diff vs plain dict comparison, including the
+    null-aware payload equality (null == null counts as unchanged)."""
+    from odibel_spark.operators.diff import snapshot_diff
+
+    schema = "key string, val int"
+    cur_df = spark.createDataFrame(list(cur.items()), schema)
+    prev_df = spark.createDataFrame(list(prev.items()), schema)
+    got = {
+        r["key"]: (r["diff"], r["changed"])
+        for r in snapshot_diff(cur_df, prev_df, ["key"]).collect()
+    }
+
+    expected = {}
+    for k in set(cur) | set(prev):
+        if k not in prev:
+            expected[k] = (1, None)
+        elif k not in cur:
+            expected[k] = (-1, None)
+        else:
+            expected[k] = (0, cur[k] != prev[k])
+    assert got == expected
