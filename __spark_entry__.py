@@ -265,7 +265,10 @@ def q_dedup_exact(spark, sf_dir):
     # fingerprint the first 5 tokens: forces collision groups on this
     # synthetic corpus so the operator's group/canonical logic is
     # exercised (full-text exact dups are rare by construction)
-    prefix = F.concat_ws(" ", F.slice(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 5))
+    prefix = F.concat_ws(
+        " ",
+        F.slice(F.split(F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""), r"\s+"), 1, 5),
+    )
     d5 = d.select("doc_id", prefix.alias("text"))
     return D.exact_duplicates(d5, "doc_id", "text")
 
@@ -1076,7 +1079,9 @@ windows AS (
 )
 """
 
-_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+#: whitespace-trim must strip ALL \s (text can be \n-padded); plain
+#: trim() strips spaces only — mirrors text.py::_ws_trim
+_TOKENS = r"string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+')"
 _NORM_TEXT = (
     r"trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+', ' ', 'g'))"
 )
@@ -1169,7 +1174,7 @@ def _pack_tokens_bucket_cols(buckets: int) -> str:
     """n_tokens + md5 bucket columns (mirrors token_count + the
     pack_documents bucketing) — expects a ``doc_id, text`` source."""
     return f"""doc_id,
-           CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
            {_STR_HASH.format(x="CAST(doc_id AS VARCHAR)")} % {buckets} AS bucket"""
 
 
@@ -1524,7 +1529,7 @@ SELECT l_returnflag, count(*) AS n FROM kept GROUP BY l_returnflag
     sql["text_profile"] = f"""
 WITH lang AS ({_lang_id_sql()})
 SELECT d.doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKENS}) END AS n_tokens,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\\w\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,
@@ -1542,7 +1547,7 @@ FROM documents d JOIN lang ON d.doc_id = lang.doc_id
     sql["dedup_exact"] = r"""
 WITH d5 AS (
     SELECT doc_id,
-           array_to_string((string_split_regex(trim(lower(text)), '\s+'))[1:5], ' ') AS text
+           array_to_string((string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+'))[1:5], ' ') AS text
     FROM documents
 ), fp AS (
     SELECT doc_id,

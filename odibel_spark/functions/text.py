@@ -23,14 +23,24 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 WS = r"\s+"
 
 
+def _ws_trim(col) -> F.Column:
+    """Strip leading/trailing WHITESPACE (all of ``\\s``, not just
+    spaces). Spark's ``trim`` removes only ASCII 0x20 — a hypothesis
+    property caught text like ``"\\n"`` surviving it, so the split-based
+    tokenizer saw two phantom empty tokens on whitespace-only text."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def tokens(col) -> F.Column:
     """Whitespace tokenization of trimmed, lowercased text."""
-    return F.split(F.trim(F.lower(col)), WS)
+    return F.split(_ws_trim(F.lower(col)), WS)
 
 
 def token_count(col) -> F.Column:
-    """Whitespace token count; empty/blank text counts 0."""
-    return F.when(F.length(F.trim(col)) == 0, F.lit(0)).otherwise(F.size(tokens(col)))
+    """Whitespace token count == the number of ``\\S+`` runs (exactly
+    Python's ``len(t.split())``; blank/whitespace-only text counts 0
+    with no special case)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
 
 
 #: BPE-style lexeme pattern: letter runs, digit runs, single

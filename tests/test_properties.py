@@ -262,3 +262,100 @@ def test_snapshot_diff_matches_python_dict_oracle(spark, cur, prev):
         else:
             expected[k] = (0, cur[k] != prev[k])
     assert got == expected
+
+
+# ---------------------------------------------------- P6: as-of join
+
+asof_strategy = st.tuples(
+    st.lists(  # states: (key, ts, value-id) — (key, ts) unique so the
+        # "latest visible state" is well-defined
+        st.tuples(st.sampled_from(["k0", "k1"]), st.integers(min_value=0, max_value=20)),
+        max_size=12,
+        unique=True,
+    ),
+    st.lists(  # queries: (key, ts) — duplicates allowed
+        st.tuples(st.sampled_from(["k0", "k1"]), st.integers(min_value=-1, max_value=21)),
+        max_size=10,
+    ),
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(data=asof_strategy)
+def test_as_of_join_matches_python_oracle(spark, data):
+    """For ANY state history and query times: each query row carries
+    the latest state of its key with state_ts <= query_ts (ties at the
+    exact timestamp visible), NULL when no state precedes it."""
+    from odibel_spark.operators.temporal import as_of_join
+
+    states, queries_rows = data
+    sdf = spark.createDataFrame(
+        [(k, ts, f"s-{k}-{ts}") for k, ts in states], "key string, sts long, sval string"
+    )
+    qdf = spark.createDataFrame(queries_rows, "key string, qts long")
+    got = sorted(
+        (r["key"], r["qts"], r["sval"])
+        for r in as_of_join(qdf, sdf, ["key"], "qts", "sts", ["sval"]).collect()
+    )
+
+    expected = []
+    for k, qt in queries_rows:
+        visible = [ts for (sk, ts) in states if sk == k and ts <= qt]
+        expected.append((k, qt, f"s-{k}-{max(visible)}" if visible else None))
+    assert got == sorted(expected)
+
+
+# ------------------------------------------------- P7: change flux
+
+windows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-7200, max_value=7200),  # t_start (negatives probe floor)
+        st.one_of(st.none(), st.integers(min_value=-7200, max_value=7200)),  # t_end; None=open
+    ),
+    max_size=15,
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(wins=windows_strategy)
+def test_change_flux_matches_python_bucket_oracle(spark, wins):
+    """Bucketed open/close counts vs Python floor arithmetic — the
+    negative-timestamp range pins that Spark's floor(x / bucket) and
+    Python's // agree (truncation would shift pre-epoch buckets), and
+    open windows (sentinel t_end) must never emit a close."""
+    from odibel_spark.operators.temporal import OPEN_END, change_flux
+
+    rows = [(ts, OPEN_END if te is None else te) for ts, te in wins]
+    df = spark.createDataFrame(rows, "t_start long, t_end long")
+    got = {r["bucket"]: (r["n_open"], r["n_close"]) for r in change_flux(df, bucket_s=3600).collect()}
+
+    buckets = {}
+    for ts, te in rows:
+        b = (ts // 3600) * 3600
+        o, c = buckets.get(b, (0, 0))
+        buckets[b] = (o + 1, c)
+        if te != OPEN_END:
+            b2 = (te // 3600) * 3600
+            o2, c2 = buckets.get(b2, (0, 0))
+            buckets[b2] = (o2, c2 + 1)
+    assert got == buckets
+
+
+# ----------------------------------------------- P8: token counting
+
+text_strategy = st.text(
+    alphabet=st.sampled_from(list("ab c\t\n.!?")), max_size=40
+)
+
+
+@settings(**PROP_SETTINGS)
+@given(texts=st.lists(text_strategy, min_size=1, max_size=15))
+def test_token_count_matches_python_split(spark, texts):
+    """Whitespace token_count == Python str.split() length for ANY
+    whitespace/punctuation soup (blank text counts 0 — split() gives
+    [] there, so the oracle is literally len(t.split()))."""
+    from odibel_spark.functions.text import token_count
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    got = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {i: len(t.split()) for i, t in enumerate(texts)}
