@@ -359,3 +359,94 @@ def test_token_count_matches_python_split(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
     got = {r["id"]: r["n"] for r in df.select("id", token_count(F.col("text")).alias("n")).collect()}
     assert got == {i: len(t.split()) for i, t in enumerate(texts)}
+
+
+# ----------------------------------------- P9: n-gram Jaccard pairs
+
+
+def _py_shingles(text: str, n: int) -> set[str]:
+    """Python mirror of normalized_text -> _split_words ->
+    _shingles_from_words: lower, strip non-word/space chars, collapse
+    whitespace, word n-grams — documents shorter than n words yield
+    their whole word list as the one (short) shingle, empty strings
+    are dropped."""
+    import re as _re
+
+    t = _re.sub(r"[^\w\s]", "", text.lower())
+    t = _re.sub(r"\s+", " ", t).strip()
+    words = t.split(" ") if t else [""]
+    out = {
+        " ".join(words[i : i + n]) for i in range(max(len(words) - n + 1, 1))
+    }
+    return {s for s in out if s}
+
+
+jaccard_corpus_strategy = st.lists(
+    st.text(alphabet=st.sampled_from(list("ab d.! \t")), max_size=25),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 10})
+@given(texts=jaccard_corpus_strategy, threshold=st.sampled_from([0.0, 0.3, 0.8]))
+def test_ngram_jaccard_matches_python_set_oracle(spark, texts, threshold):
+    """ngram_jaccard_pairs == brute-force Python set Jaccard over every
+    pair, at any threshold — including the short-document edge (fewer
+    words than the shingle width) and documents normalizing to empty."""
+    from odibel_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=threshold).collect()
+    }
+
+    sh = {f"d{i:02d}": _py_shingles(t, 2) for i, t in enumerate(texts)}
+    ids = sorted(sh)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue  # no shared shingle -> no join row at all
+            j = round(inter / len(sh[a] | sh[b]), 6)
+            if j >= threshold:
+                expected[(a, b)] = j
+    assert got.keys() == expected.keys()
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], abs=1e-9)
+
+
+# ------------------------------------------------ P10: benchmark splits
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 10})
+@given(
+    n_rows=st.integers(min_value=0, max_value=40),
+    parts=st.integers(min_value=1, max_value=5),
+    ratios=st.sampled_from(
+        [{"train": 0.8, "test": 0.2}, {"a": 0.5, "b": 0.3, "c": 0.2}, {"all": 1.0}]
+    ),
+)
+def test_create_splits_partitions_deterministically(spark, n_rows, parts, ratios):
+    """Splits are a PARTITION of the input (disjoint, covering) and
+    membership is identical across partitionings — the determinism
+    randomSplit does not give."""
+    from odibel_spark.api import create_splits
+
+    df = spark.createDataFrame([(f"r{i:03d}",) for i in range(n_rows)], "doc_id string")
+
+    def members(d):
+        out = {}
+        for name, part in create_splits(d, ratios, ["doc_id"], seed=7).items():
+            out[name] = {r["doc_id"] for r in part.collect()}
+        return out
+
+    m = members(df.repartition(parts))
+    all_ids = {f"r{i:03d}" for i in range(n_rows)}
+    assert set().union(*m.values()) == all_ids if m else n_rows == 0
+    assert sum(len(v) for v in m.values()) == n_rows  # disjoint cover
+    assert members(df.coalesce(1)) == m  # partitioning-invariant
