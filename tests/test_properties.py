@@ -450,3 +450,61 @@ def test_create_splits_partitions_deterministically(spark, n_rows, parts, ratios
     assert set().union(*m.values()) == all_ids if m else n_rows == 0
     assert sum(len(v) for v in m.values()) == n_rows  # disjoint cover
     assert members(df.coalesce(1)) == m  # partitioning-invariant
+
+
+# ---------------------------------------------- P11: interval marks
+
+
+@settings(**PROP_SETTINGS)
+@given(
+    wins=st.lists(
+        st.tuples(
+            st.integers(min_value=-30, max_value=30),
+            st.integers(min_value=-30, max_value=30),
+        ),
+        max_size=10,
+    ),
+    step=st.sampled_from([1, 3, 7]),
+)
+def test_interval_marks_matches_python_grid_oracle(spark, wins, step):
+    """Every half-open window [s, e) yields exactly the global-grid
+    marks m = k*step with s <= m < e — vs a brute-force Python range
+    scan, including negative timestamps (ceil-division territory),
+    empty windows (e <= s) and windows that straddle zero."""
+    from odibel_spark.operators.temporal import interval_marks
+
+    df = spark.createDataFrame(
+        [(i, s, e) for i, (s, e) in enumerate(wins)], "win_id int, t_start long, t_end long"
+    )
+    got = sorted((r["win_id"], r["mark"]) for r in interval_marks(df, step_s=step).collect())
+
+    expected = sorted(
+        (i, m)
+        for i, (s, e) in enumerate(wins)
+        for m in range(-40 * step, 40 * step + 1)
+        if m % step == 0 and s <= m < e
+    )
+    assert got == expected
+
+
+# ------------------------------------------- P12: seeded sampling
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    n_rows=st.integers(min_value=0, max_value=30),
+    n=st.integers(min_value=0, max_value=35),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_seeded_sample_is_partitioning_invariant(spark, n_rows, n, parts):
+    """seeded_sample returns the same min(n, rows) rows regardless of
+    physical partitioning — the determinism contract the rdf2 sampler
+    family is built on (an engine-reproducible orderBy-hash + limit,
+    not partition-dependent sampling)."""
+    from odibel_spark.operators.relational import seeded_sample
+
+    df = spark.createDataFrame([(f"r{i:03d}",) for i in range(n_rows)], "id string")
+    a = {r["id"] for r in seeded_sample(df.repartition(parts), n, seed=13).collect()}
+    b = {r["id"] for r in seeded_sample(df.coalesce(1), n, seed=13).collect()}
+    assert a == b
+    assert len(a) == min(n, n_rows)
