@@ -508,3 +508,80 @@ def test_seeded_sample_is_partitioning_invariant(spark, n_rows, n, parts):
     b = {r["id"] for r in seeded_sample(df.coalesce(1), n, seed=13).collect()}
     assert a == b
     assert len(a) == min(n, n_rows)
+
+
+# ------------------------------------- P13: MERGE batch convergence
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    data=events_strategy,
+    cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=2, unique=True),
+    order=st.permutations([0, 1, 2]),
+)
+def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order):
+    """The CDC MERGE's core claim, property-stated: split ANY event
+    soup at ANY batch boundaries, apply the batches in ANY order —
+    the table converges to the batch-replay LWW oracle (LSN fencing
+    makes stale batches harmless), and re-applying a batch afterwards
+    changes nothing (idempotence)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.cdc.replay import split_dead_letters
+    from odibel_spark.lake.merge import create_cdc_table, merge_upsert
+    from odibel_spark.lake.table import BucketSpec
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    bounds = sorted(set(cuts) | {len(rows)})
+    batches, lo = [], 0
+    for hi in bounds:
+        batches.append(rows[lo : min(hi, len(rows))])
+        lo = min(hi, len(rows))
+    batches = [b for b in batches if b] or [[]]
+    fields = [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+    root = tempfile.mkdtemp(prefix="odibel-prop-merge-")
+    try:
+        t = create_cdc_table(spark, root, fields, BucketSpec("conv_id", 4))
+        applied = []
+        for bi in order:
+            if bi >= len(batches):
+                continue
+            ok, _dead = split_dead_letters(spark.createDataFrame(batches[bi], EVENT_SCHEMA))
+            merge_upsert(t, ok, ["conv_id", "turn_idx"])
+            applied.append(bi)
+
+        def state():
+            return {
+                (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+                for r in t.read().collect()
+            }
+
+        assert state() == _lww_oracle(rows)
+        if applied:  # replaying any already-applied batch is a no-op
+            ok, _dead = split_dead_letters(spark.createDataFrame(batches[applied[0]], EVENT_SCHEMA))
+            merge_upsert(t, ok, ["conv_id", "turn_idx"])
+            assert state() == _lww_oracle(rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
