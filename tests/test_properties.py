@@ -518,13 +518,16 @@ def test_seeded_sample_is_partitioning_invariant(spark, n_rows, n, parts):
     data=events_strategy,
     cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=2, unique=True),
     order=st.permutations([0, 1, 2]),
+    fold=st.booleans(),
 )
-def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order):
+def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order, fold):
     """The CDC MERGE's core claim, property-stated: split ANY event
     soup at ANY batch boundaries, apply the batches in ANY order —
     the table converges to the batch-replay LWW oracle (LSN fencing
     makes stale batches harmless), and re-applying a batch afterwards
-    changes nothing (idempotence)."""
+    changes nothing (idempotence). ``fold`` covers both postures:
+    copy-on-write (rewrite at merge time) and merge-on-read (delta
+    appends folded by ``read()``)."""
     import shutil
     import tempfile
 
@@ -569,7 +572,7 @@ def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order):
             if bi >= len(batches):
                 continue
             ok, _dead = split_dead_letters(spark.createDataFrame(batches[bi], EVENT_SCHEMA))
-            merge_upsert(t, ok, ["conv_id", "turn_idx"])
+            merge_upsert(t, ok, ["conv_id", "turn_idx"], fold=fold)
             applied.append(bi)
 
         def state():
@@ -581,7 +584,7 @@ def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order):
         assert state() == _lww_oracle(rows)
         if applied:  # replaying any already-applied batch is a no-op
             ok, _dead = split_dead_letters(spark.createDataFrame(batches[applied[0]], EVENT_SCHEMA))
-            merge_upsert(t, ok, ["conv_id", "turn_idx"])
+            merge_upsert(t, ok, ["conv_id", "turn_idx"], fold=fold)
             assert state() == _lww_oracle(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
