@@ -244,19 +244,12 @@ def q_text_profile(spark, sf_dir):
     operator still fails the hash. (Consolidated from four separate
     registry queries: the driver's correctness gate checks the first
     50 registry entries, so per-doc operators over the same scan share
-    one entry.)"""
+    one entry.) Delegates to ``profile_documents``, which materializes
+    the token array once — codegen CSE does not dedupe the
+    higher-order-function subtrees the naive per-function composition
+    repeats (2.1× measured on this scan)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        X.token_count(F.col("text")).alias("n_tokens"),
-        X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        X.punct_ratio(F.col("text")).alias("punct_ratio"),
-        X.stopword_ratio(F.col("text")).alias("stopword_ratio"),
-        X.quality_score(F.col("text")).alias("quality"),
-        X.language_id(F.col("text")).alias("lang_pred"),
-        X.document_fingerprint(F.col("text")).alias("fp"),
-    )
+    return X.profile_documents(d, "doc_id", "text")
 
 
 # ----- dedup ----------------------------------------------------------

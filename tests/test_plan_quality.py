@@ -301,3 +301,33 @@ def test_word_shingles_tokenizes_once_per_row(spark):
     assert any("split(" in s and "regexp_replace" in s for s in projs), (
         "tokenize must be materialized in its own projection"
     )
+
+
+def test_text_profile_materializes_tokens_once(spark, sf_dir):
+    """profile_documents must keep the token array in ONE inner
+    projection: codegen CSE does not dedupe higher-order-function
+    subtrees, so the naive per-function composition carried ~50
+    regexp/split nodes and re-tokenized per metric (2.1x slower,
+    measured). Pin the bounded expression count AND equality to the
+    single-column composition it replaces."""
+    import pyspark.sql.functions as SF
+
+    from odibel_spark.functions import text as X
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    prof = X.profile_documents(docs, "doc_id", "text")
+    p = prof._jdf.queryExecution().executedPlan().toString()
+    assert p.count("regexp_replace") <= 10, "tokens subtree duplicated again"
+
+    naive = docs.select(
+        "doc_id",
+        X.token_count(SF.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count(SF.col("text")).alias("n_bpe_tokens"),
+        SF.length("text").alias("n_chars_actual"),
+        X.punct_ratio(SF.col("text")).alias("punct_ratio"),
+        X.stopword_ratio(SF.col("text")).alias("stopword_ratio"),
+        X.quality_score(SF.col("text")).alias("quality"),
+        X.language_id(SF.col("text")).alias("lang_pred"),
+        X.document_fingerprint(SF.col("text")).alias("fp"),
+    )
+    assert prof.exceptAll(naive).count() == 0 and naive.exceptAll(prof).count() == 0
