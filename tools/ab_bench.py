@@ -18,6 +18,7 @@ Usage:
     python tools/ab_bench.py lsh_clean_corpus [--docs 20000] [--reps 3]
     python tools/ab_bench.py shingle_tokenize [--docs 20000] [--words 50] [--reps 3]
     python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
+    python tools/ab_bench.py profile_cse [--docs 20000] [--words 120] [--reps 3]
     python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
     python tools/ab_bench.py state_store_pressure --events 8000000 --heap 2g --timeout 2100
         (argparse defaults are 1M/1g/900 — too light for the heap arm
@@ -544,9 +545,67 @@ def ab_infer_filter_pushdown(spark, docs_n: int, reps: int, words_n: int = 50) -
         docs.unpersist()
 
 
+def ab_profile_cse(spark, docs_n: int, reps: int, words_n: int = 120) -> None:
+    """r5 text-profile rewrite: codegen subexpression elimination does
+    not dedupe higher-order-function subtrees, so the naive composition
+    of stopword_ratio + quality_score + language_id + token_count over
+    one text column re-tokenizes the document once per metric (~50
+    regexp/split plan nodes). profile_documents materializes tokens()
+    in one inner projection. Both arms produce the identical rows
+    (pinned by test_text_profile_materializes_tokens_once)."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions import text as X
+
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_n)),
+        lambda j: F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), j.cast("string"))), 1, 6
+        ),
+    )
+    docs = (
+        spark.range(docs_n)
+        .select(F.col("id").cast("string").alias("doc_id"), F.concat_ws(" ", words).alias("text"))
+        .repartition(16)
+    )
+    docs.cache().count()
+
+    def run_naive() -> None:
+        materialize(
+            docs.select(
+                "doc_id",
+                X.token_count(F.col("text")).alias("n_tokens"),
+                X.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+                F.length("text").alias("n_chars_actual"),
+                X.punct_ratio(F.col("text")).alias("punct_ratio"),
+                X.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+                X.quality_score(F.col("text")).alias("quality"),
+                X.language_id(F.col("text")).alias("lang_pred"),
+                X.document_fingerprint(F.col("text")).alias("fp"),
+            )
+        )
+
+    def run_materialized() -> None:
+        materialize(X.profile_documents(docs, "doc_id", "text"))
+
+    try:
+        run_ab(
+            "profile_cse", spark,
+            {"naive_composition": run_naive, "materialized_tokens": run_materialized},
+            reps,
+            {"docs": docs_n, "words_per_doc": words_n,
+             "note": "full text-analysis profile, identical output both arms; "
+                     "naive re-derives the tokens() HOF subtree per metric (codegen "
+                     "CSE skips lambda-bearing subtrees), materialized projects the "
+                     "token array once and derives every metric from the attribute"},
+        )
+    finally:
+        docs.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "state_store", "state_store_pressure"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "state_store", "state_store_pressure"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -581,6 +640,8 @@ def main() -> int:
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
     elif args.which == "shingle_tokenize":
         ab_shingle_tokenize(spark, args.docs, args.reps, args.words)
+    elif args.which == "profile_cse":
+        ab_profile_cse(spark, args.docs, args.reps, args.words)
     elif args.which == "infer_filter_pushdown":
         ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words)
     elif args.which == "state_store":
