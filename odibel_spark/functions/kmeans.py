@@ -65,11 +65,21 @@ def _quantize(vec_col, scale: int) -> F.Column:
     )
 
 
-def _assign_expr(qvec, centers: list[list[float]], scale: int) -> F.Column:
-    """Argmin-distance cluster id for one quantized vector against
-    literal centers — pure column arithmetic, sequential fold, ties to
-    the smallest cluster id (struct ordering of (dist, id))."""
-    dv = F.transform(qvec, lambda q: q / F.lit(float(scale)))
+def _divide(qvec, scale: int) -> F.Column:
+    """Quantized longs back to doubles. Callers MUST materialize the
+    result as its own column before handing it to an assign expr:
+    codegen CSE does not dedupe higher-order-function subtrees (see
+    ARCHITECTURE.md "Expression-evaluation discipline"), so an inline
+    divide inside the argmin would re-run this transform once per
+    CENTER per row — k×O(dim) interpreted work for nothing."""
+    return F.transform(qvec, lambda q: q / F.lit(float(scale)))
+
+
+def _assign_expr(dv, centers: list[list[float]]) -> F.Column:
+    """Argmin-distance cluster id for one divided-vector ATTRIBUTE
+    (``_divide`` output, materialized by the caller) against literal
+    centers — pure column arithmetic, sequential fold, ties to the
+    smallest cluster id (struct ordering of (dist, id))."""
     cands = []
     for j, cen in enumerate(centers):
         lit_c = F.array(*[F.lit(float(c)) for c in cen])
@@ -98,14 +108,15 @@ def _centers_relation(spark, centers: list[list[float]], col_name: str):
     return spark.createDataFrame([([[float(c) for c in cen] for cen in centers],)], schema)
 
 
-def _assign_broadcast_expr(qvec, k: int, scale: int, centers_col: str) -> F.Column:
+def _assign_broadcast_expr(dv, k: int, centers_col: str) -> F.Column:
     """Argmin-distance cluster id against the ``centers_col`` column of
-    a joined one-row centers relation. IDENTICAL arithmetic to
-    ``_assign_expr`` — same quantize/divide, same left-to-right
-    sequential fold per dimension, same struct-ordered tie-break to the
-    smallest cluster id — so both paths produce bit-equal assignments
-    (pinned by test_kmeans_assign_broadcast_matches_literal)."""
-    dv = F.transform(qvec, lambda q: q / F.lit(float(scale)))
+    a joined one-row centers relation, over a divided-vector ATTRIBUTE
+    (``_divide`` output, materialized by the caller). IDENTICAL
+    arithmetic to ``_assign_expr`` — same quantize/divide, same
+    left-to-right sequential fold per dimension, same struct-ordered
+    tie-break to the smallest cluster id — so both paths produce
+    bit-equal assignments (pinned by
+    test_kmeans_assign_broadcast_matches_literal)."""
 
     def dist(j):
         cen = F.element_at(F.col(centers_col), j + 1)
@@ -160,16 +171,19 @@ def kmeans_train(
     # the SQL replay produces (its seed CTE simply yields fewer rows)
     k = len(centers)
     how = _resolve_assign_method(method, k, len(centers[0]))
+    # the divided vector is materialized ONCE, outside the loop — an
+    # inline divide would re-run the transform per center per row
+    qd = q.withColumn("_dv", _divide(F.col("_qv"), scale))
     for _ in range(iters):
         if how == "broadcast":
-            # q has only internal columns (_id/_qv), so "_centers" can't collide
-            assigned = q.crossJoin(
+            # qd has only internal columns (_id/_qv/_dv), so "_centers" can't collide
+            assigned = qd.crossJoin(
                 F.broadcast(_centers_relation(emb.sparkSession, centers, "_centers"))
             ).select(
-                _assign_broadcast_expr(F.col("_qv"), k, scale, "_centers").alias("_c"), "_qv"
+                _assign_broadcast_expr(F.col("_dv"), k, "_centers").alias("_c"), "_qv"
             )
         else:
-            assigned = q.select(_assign_expr(F.col("_qv"), centers, scale).alias("_c"), "_qv")
+            assigned = qd.select(_assign_expr(F.col("_dv"), centers).alias("_c"), "_qv")
         sums = (
             assigned.select("_c", F.posexplode("_qv").alias("_dim", "_q"))
             .groupBy("_c", "_dim")
@@ -213,23 +227,25 @@ def kmeans_assign(
     - ``"auto"`` (default): literal up to ``LITERAL_ASSIGN_MAX_CELLS``
       center cells, broadcast past it."""
     how = _resolve_assign_method(method, len(centers), len(centers[0]) if centers else 0)
+    # collision-proof internal column names (a user column of the same
+    # name would make references ambiguous and .drop() would strip
+    # their data)
+    dcol = "_dv"
+    while dcol in emb.columns:
+        dcol = "_" + dcol
+    # divided vector materialized ONCE: inline it and the HOF transform
+    # re-evaluates per center per row (codegen CSE skips lambda subtrees)
+    divided = emb.withColumn(dcol, _divide(_quantize(F.col(vec_col), scale), scale))
     if how == "broadcast":
-        # pick a centers column name that can't collide with the input
-        # (a user "_centers" column would make the reference ambiguous
-        # and .drop() would strip their data)
         ccol = "_centers"
-        while ccol in emb.columns:
+        while ccol in emb.columns or ccol == dcol:
             ccol = "_" + ccol
         return (
-            emb.crossJoin(F.broadcast(_centers_relation(emb.sparkSession, centers, ccol)))
+            divided.crossJoin(F.broadcast(_centers_relation(emb.sparkSession, centers, ccol)))
             .withColumn(
                 "cluster",
-                _assign_broadcast_expr(
-                    _quantize(F.col(vec_col), scale), len(centers), scale, ccol
-                ),
+                _assign_broadcast_expr(F.col(dcol), len(centers), ccol),
             )
-            .drop(ccol)
+            .drop(ccol, dcol)
         )
-    return emb.withColumn(
-        "cluster", _assign_expr(_quantize(F.col(vec_col), scale), centers, scale)
-    )
+    return divided.withColumn("cluster", _assign_expr(F.col(dcol), centers)).drop(dcol)
