@@ -588,3 +588,85 @@ def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order, fo
             assert state() == _lww_oracle(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------ P14: MinHash signature math
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab d ")), max_size=30), min_size=1, max_size=8
+    )
+)
+def test_minhash_signatures_match_python_mirror(spark, texts):
+    """The K-permutation MinHash is engine-portable by construction
+    (md5-derived 32-bit shingle hash, affine permutations mod the
+    Mersenne prime) — pin it against a from-scratch Python mirror on
+    arbitrary text. Documents with zero shingles must have NO
+    signature row."""
+    import hashlib
+
+    from odibel_spark.functions.dedup import MINHASH_P, minhash_signatures
+
+    k, n = 8, 2
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(k))
+        for r in minhash_signatures(docs, "doc_id", "text", n=n, k=k).collect()
+    }
+
+    expected = {}
+    for i, t in enumerate(texts):
+        sh = _py_shingles(t, n)
+        if not sh:
+            continue
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        expected[f"d{i:02d}"] = tuple(
+            min((h * (2 * j + 1) + 7919 * (j + 1)) % MINHASH_P for h in hs) for j in range(k)
+        )
+    assert got == expected
+
+
+# ------------------------------ P15: hyperplane signature math
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8).map(lambda i: i / 4.0),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_embedding_lsh_signatures_match_python_mirror(spark, vecs):
+    """Hyperplane sign-bit signatures vs a Python mirror with the
+    identical left-to-right dot fold — quarter-integer vectors make
+    every dot product exact in binary floating point, so the sign at
+    the 0 boundary is deterministic on both sides (dot >= 0 sets the
+    bit)."""
+    from odibel_spark.functions.dedup import embedding_lsh_signatures
+
+    planes = [[1.0, -0.5, 0.25], [-0.75, 0.5, 1.0], [0.0, 1.0, -1.0]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["sig"] for r in embedding_lsh_signatures(emb, "vec_id", "embedding", planes).collect()}
+
+    expected = {}
+    for i, v in enumerate(vecs):
+        sig = 0
+        for p, plane in enumerate(planes):
+            dot = 0.0
+            for x, y in zip(v, plane):
+                dot = dot + x * y
+            if dot >= 0:
+                sig += 2**p
+        expected[i] = sig
+    assert got == expected
