@@ -670,3 +670,53 @@ def test_embedding_lsh_signatures_match_python_mirror(spark, vecs):
                 sig += 2**p
         expected[i] = sig
     assert got == expected
+
+
+# --------------------------------- P16: N-Triples roundtrip identity
+
+_URI_CHARS = "abc0_-.:/#"
+_LIT_CHARS = 'abc 0._:"\'!?,-'  # spaces, dots, quotes INSIDE literals
+
+triple_strategy = st.tuples(
+    st.text(alphabet=st.sampled_from(list(_URI_CHARS)), min_size=1, max_size=8),
+    st.text(alphabet=st.sampled_from(list(_URI_CHARS)), min_size=1, max_size=8),
+    st.one_of(
+        st.text(alphabet=st.sampled_from(list(_URI_CHARS)), min_size=1, max_size=8).map(
+            lambda s: f"<urn:o:{s}>"
+        ),
+        st.text(alphabet=st.sampled_from(list(_LIT_CHARS)), max_size=12).map(
+            lambda s: f'"{s}"'
+        ),
+    ),
+)
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(triples=st.lists(triple_strategy, min_size=1, max_size=12))
+def test_ntriples_roundtrip_identity(spark, triples):
+    """serialize -> parse is the identity on any triple set within the
+    documented model (reference-parity whitespace-split: terms are
+    newline-free, s/p are single tokens, literals may contain spaces,
+    interior dots, quotes — incl. literals ending in '.', the shape the
+    terminator-strip regex must not over-eat)."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.sources.rdf import parse_ntriples, serialize_ntriples
+
+    rows = [
+        (f"<urn:s:{s}>", f"<urn:p:{p}>", o, o.startswith('"')) for s, p, o in triples
+    ]
+    df = spark.createDataFrame(rows, "s string, p string, o string, isLiteral boolean")
+    d = tempfile.mkdtemp(prefix="odibel-prop-nt-")
+    try:
+        path = d + "/out.nt"
+        serialize_ntriples(df, path, overwrite=True)
+        got = sorted(
+            (r["s"], r["p"], r["o"], r["isLiteral"])
+            for r in parse_ntriples(spark, path).collect()
+        )
+        expected = sorted(rows)
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
