@@ -258,10 +258,7 @@ def q_dedup_exact(spark, sf_dir):
     # fingerprint the first 5 tokens: forces collision groups on this
     # synthetic corpus so the operator's group/canonical logic is
     # exercised (full-text exact dups are rare by construction)
-    prefix = F.concat_ws(
-        " ",
-        F.slice(F.split(F.regexp_replace(F.lower(F.col("text")), r"^\s+|\s+$", ""), r"\s+"), 1, 5),
-    )
+    prefix = F.concat_ws(" ", F.slice(X.tokens(F.col("text")), 1, 5))
     d5 = d.select("doc_id", prefix.alias("text"))
     return D.exact_duplicates(d5, "doc_id", "text")
 
@@ -1167,7 +1164,7 @@ def _pack_tokens_bucket_cols(buckets: int) -> str:
     """n_tokens + md5 bucket columns (mirrors token_count + the
     pack_documents bucketing) — expects a ``doc_id, text`` source."""
     return f"""doc_id,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
            {_STR_HASH.format(x="CAST(doc_id AS VARCHAR)")} % {buckets} AS bucket"""
 
 
@@ -1522,7 +1519,7 @@ SELECT l_returnflag, count(*) AS n FROM kept GROUP BY l_returnflag
     sql["text_profile"] = f"""
 WITH lang AS ({_lang_id_sql()})
 SELECT d.doc_id,
-       len(regexp_extract_all(text, '\S+')) AS n_tokens,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\\w\\s]')) AS n_bpe_tokens,
        length(text) AS n_chars_actual,
        round(length(regexp_replace(text, '[\\w\\s]', '', 'g')) / greatest(length(text), 1), 6) AS punct_ratio,

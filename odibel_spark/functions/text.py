@@ -37,9 +37,14 @@ def tokens(col) -> F.Column:
 
 
 def token_count(col) -> F.Column:
-    """Whitespace token count == the number of ``\\S+`` runs (exactly
-    Python's ``len(t.split())``; blank/whitespace-only text counts 0
-    with no special case)."""
+    """Whitespace token count == the number of ``\\S+`` runs — equal to
+    Python's ``len(t.split())`` for ASCII whitespace, with
+    blank/whitespace-only text counting 0 and no special case. Unicode
+    whitespace (NBSP, U+3000, ...) is NOT a separator: Java's and
+    DuckDB/RE2's ``\\s`` are ASCII-only, and keeping that semantics on
+    both sides is what keeps the value oracle exact; Python's
+    ``str.split()`` WOULD split there (the property test pins the
+    equivalence on an ASCII alphabet for exactly this reason)."""
     return F.size(F.regexp_extract_all(col, F.lit(r"\S+"), 0))
 
 
@@ -113,7 +118,13 @@ def profile_documents(docs, id_col: str = "doc_id", text_col: str = "text"):
     token-based metric from that array attribute is a measured 2.1× on
     the full-profile scan at identical output values. Single-column
     functions remain the right tool when you need one metric."""
-    toks = F.col("_toks")
+    # collision-proof internal column name (same pattern as the kmeans
+    # assign internals): a user column named "_toks" would make the
+    # attribute references below ambiguous
+    tcol = "_toks"
+    while tcol in docs.columns:
+        tcol = "_" + tcol
+    toks = F.col(tcol)
 
     def hits(words: list[str]) -> F.Column:
         return _hits_in(toks, words)
@@ -130,7 +141,7 @@ def profile_documents(docs, id_col: str = "doc_id", text_col: str = "text"):
     length_term = F.least(F.length(F.trim(F.col(text_col))) / F.lit(400.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(F.col(text_col)) * 4, F.lit(1.0))
     stop_term = F.least(stop_ratio * 5, F.lit(1.0))
-    return docs.select(id_col, text_col, tokens(F.col(text_col)).alias("_toks")).select(
+    return docs.select(id_col, text_col, tokens(F.col(text_col)).alias(tcol)).select(
         id_col,
         token_count(F.col(text_col)).alias("n_tokens"),
         bpe_ish_token_count(F.col(text_col)).alias("n_bpe_tokens"),

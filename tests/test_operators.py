@@ -598,3 +598,21 @@ def test_ivf_recall_floor_on_clustered_vectors(spark, sf_dir):
     n_lists = sf_emb.select("label").distinct().count()
     sf_all = ids(ivf_top_k(sf_emb, sf_q, "vec_id", "embedding", "label", k=10, nprobe=n_lists))
     assert sf_all == sf_exact
+
+
+def test_profile_documents_survives_toks_column_collision(spark):
+    """A user '_toks' column must neither break the profile (ambiguous
+    reference) nor leak into its output — same collision-proofing
+    pattern as the kmeans assign internals."""
+    import pyspark.sql.functions as SF
+
+    from odibel_spark.functions.text import profile_documents
+
+    docs = spark.createDataFrame(
+        [("d1", "hello world", "user-data"), ("d2", "", "x")],
+        "doc_id string, text string, _toks string",
+    )
+    out = profile_documents(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert "_toks" not in out.columns
+    assert rows["d1"]["n_tokens"] == 2 and rows["d2"]["n_tokens"] == 0

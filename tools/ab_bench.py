@@ -612,8 +612,9 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=20_000,
                     help="lsh_clean_corpus: all-distinct document count")
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--words", type=int, default=50,
-                    help="shingle_tokenize: words per synthetic document")
+    ap.add_argument("--words", type=int, default=None,
+                    help="words per synthetic document (mode defaults: "
+                         "shingle_tokenize 50, infer_filter_pushdown 200, profile_cse 120)")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--heap", default="1g",
                     help="state_store_pressure: child-JVM heap (SPARK_GRAFT_DRIVER_MEM)")
@@ -639,11 +640,11 @@ def main() -> int:
     elif args.which == "lsh_clean_corpus":
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
     elif args.which == "shingle_tokenize":
-        ab_shingle_tokenize(spark, args.docs, args.reps, args.words)
+        ab_shingle_tokenize(spark, args.docs, args.reps, args.words or 50)
     elif args.which == "profile_cse":
-        ab_profile_cse(spark, args.docs, args.reps, args.words)
+        ab_profile_cse(spark, args.docs, args.reps, args.words or 120)
     elif args.which == "infer_filter_pushdown":
-        ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words)
+        ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words or 200)
     elif args.which == "state_store":
         ab_state_store(spark, args.events, args.reps)
     else:
