@@ -724,3 +724,50 @@ def test_ntriples_roundtrip_identity(spark, triples):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------- P17: remaining text-function mirrors
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 10})
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("aB c1.!?,;' \t")), max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_text_function_python_mirrors(spark, texts):
+    """bpe_ish_token_count, punct_ratio and document_fingerprint vs
+    from-scratch Python mirrors on ASCII soups (mixed case, digits,
+    punctuation runs, tabs) — the remaining oracle-critical text
+    functions not covered by the token-count property."""
+    import hashlib
+    import re as _re
+
+    from odibel_spark.functions.text import (
+        bpe_ish_token_count,
+        document_fingerprint,
+        punct_ratio,
+    )
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    got = {
+        r["id"]: (r["bpe"], r["punct"], r["fp"])
+        for r in df.select(
+            "id",
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+            punct_ratio(F.col("text")).alias("punct"),
+            document_fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+
+    for i, t in enumerate(texts):
+        bpe = len(_re.findall(r"[a-z]+|[0-9]+|[^\w\s]", t.lower()))
+        stripped = _re.sub(r"[\w\s]", "", t)
+        punct = round(len(stripped) / max(len(t), 1), 6)
+        norm = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", t.lower())).strip(" ")
+        fp = hashlib.md5(norm.encode()).hexdigest()
+        assert got[i][0] == bpe, (t, got[i][0], bpe)
+        assert got[i][1] == pytest.approx(punct, abs=1e-9), (t, got[i][1], punct)
+        assert got[i][2] == fp, (t, got[i][2], fp)
