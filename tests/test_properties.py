@@ -771,3 +771,49 @@ def test_text_function_python_mirrors(spark, texts):
         assert got[i][0] == bpe, (t, got[i][0], bpe)
         assert got[i][1] == pytest.approx(punct, abs=1e-9), (t, got[i][1], punct)
         assert got[i][2] == fp, (t, got[i][2], fp)
+
+
+# ----------------------------- P18: WAL schema discovery union
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    # per file: a subset of a 5-column universe (name -> spark/pandas type)
+    files=st.lists(
+        st.sets(st.sampled_from(["a_str", "b_long", "c_double", "d_bool", "e_str"]), min_size=1),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_discover_wal_schema_unions_any_file_shapes(spark, files):
+    """Schema discovery over ANY mix of per-file column subsets yields
+    exactly the union of columns with each column's declared type —
+    first-seen-wins field order under the deterministic (sorted) file
+    walk, matching mergeSchema's column set regardless of which files
+    carry which generation's columns."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.cdc.evolution import discover_wal_schema
+
+    types = {  # simpleString() names
+        "a_str": "string",
+        "b_long": "bigint",
+        "c_double": "double",
+        "d_bool": "boolean",
+        "e_str": "string",
+    }
+    sample = {"a_str": "x", "b_long": 1, "c_double": 1.5, "d_bool": True, "e_str": "y"}
+    d = tempfile.mkdtemp(prefix="odibel-prop-schema-")
+    try:
+        for i, cols in enumerate(files):
+            cols = sorted(cols)
+            row = tuple(sample[c] for c in cols)
+            schema = ", ".join(f"{c} {types[c]}" for c in cols)  # DDL accepts bigint
+            spark.createDataFrame([row], schema).coalesce(1).write.parquet(f"{d}/f{i:02d}")
+        got = discover_wal_schema(spark, [d])
+        assert {f.name: f.dataType.simpleString() for f in got.fields} == {
+            c: types[c] for cols in files for c in cols
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
