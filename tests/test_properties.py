@@ -817,3 +817,65 @@ def test_discover_wal_schema_unions_any_file_shapes(spark, files):
         }
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --------------------------------- P19: time travel == prefix replay
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 5})
+@given(data=events_strategy, fold=st.booleans())
+def test_time_travel_reads_equal_prefix_replay(spark, data, fold):
+    """For ANY event soup split into batches applied IN ORDER: reading
+    the table at each historical version equals the Python LWW oracle
+    over the PREFIX of events applied up to that version — snapshot
+    isolation stated as a property, on both CoW and MoR tables."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.cdc.replay import split_dead_letters
+    from odibel_spark.lake.merge import create_cdc_table, merge_upsert
+    from odibel_spark.lake.table import BucketSpec
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    third = max(len(rows) // 3, 1)
+    batches = [rows[i : i + third] for i in range(0, len(rows), third)] or [[]]
+    fields = [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+    root = tempfile.mkdtemp(prefix="odibel-prop-tt-")
+    try:
+        t = create_cdc_table(spark, root, fields, BucketSpec("conv_id", 4))
+        versions = []  # (committed version, events applied so far)
+        applied = 0
+        for b in batches:
+            ok, _dead = split_dead_letters(spark.createDataFrame(b, EVENT_SCHEMA))
+            merge_upsert(t, ok, ["conv_id", "turn_idx"], fold=fold)
+            applied += len(b)
+            versions.append((t.current_version(), applied))
+        for v, n_applied in versions:
+            got = {
+                (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+                for r in t.read(version=v).collect()
+            }
+            assert got == _lww_oracle(rows[:n_applied]), (v, n_applied, fold)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
