@@ -879,3 +879,91 @@ def test_time_travel_reads_equal_prefix_replay(spark, data, fold):
             assert got == _lww_oracle(rows[:n_applied]), (v, n_applied, fold)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------- P20: maintenance invariance + changelog replication
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 5})
+@given(data=events_strategy)
+def test_maintenance_and_changelog_preserve_state(spark, data):
+    """After ANY event soup lands in a MoR table: (a) compaction +
+    vacuum must not change what read() returns, and (b) replaying the
+    full changelog into a fresh table through the ordinary MERGE
+    reproduces the state — the downstream-replication contract of
+    changes(), held under random deletes/updates/poison."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.cdc.replay import split_dead_letters
+    from odibel_spark.lake.merge import create_cdc_table, merge_upsert
+    from odibel_spark.lake.table import BucketSpec
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    half = max(len(rows) // 2, 1)
+    fields = [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+
+    def state(t):
+        return {
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+            for r in t.read().collect()
+        }
+
+    root = tempfile.mkdtemp(prefix="odibel-prop-maint-")
+    try:
+        src = create_cdc_table(
+            spark, root + "/src", fields, BucketSpec("conv_id", 4),
+            key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+        )
+        for b in (rows[:half], rows[half:]):
+            ok, _dead = split_dead_letters(spark.createDataFrame(b, EVENT_SCHEMA))
+            merge_upsert(src, ok, ["conv_id", "turn_idx"], fold=False)
+        expected = _lww_oracle(rows)
+        assert state(src) == expected
+
+        # (b) changelog replication BEFORE maintenance (vacuum can
+        # retire early commits' delta files past the retention window)
+        dst = create_cdc_table(
+            spark, root + "/dst", fields, BucketSpec("conv_id", 4),
+            key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+        )
+        feed = (
+            src.changes(0)
+            .withColumn(
+                "op", F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("update"))
+            )
+            .withColumnRenamed("_lsn", "lsn")
+            .drop("_deleted", "_commit_version")
+        )
+        merge_upsert(dst, feed, ["conv_id", "turn_idx"])
+        assert state(dst) == expected
+
+        # (a) compaction + vacuum are read-invisible
+        from odibel_spark.lake.merge import compact_buckets
+
+        compact_buckets(src)
+        src.vacuum(keep_versions=1, grace_seconds=0.0)
+        assert state(src) == expected
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
