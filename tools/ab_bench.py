@@ -19,6 +19,7 @@ Usage:
     python tools/ab_bench.py shingle_tokenize [--docs 20000] [--words 50] [--reps 3]
     python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
     python tools/ab_bench.py profile_cse [--docs 20000] [--words 120] [--reps 3]
+    python tools/ab_bench.py kmeans_divide [--docs 200000] [--reps 3]   (--docs = vector count)
     python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
     python tools/ab_bench.py state_store_pressure --events 8000000 --heap 2g --timeout 2100
         (argparse defaults are 1M/1g/900 — too light for the heap arm
@@ -603,9 +604,70 @@ def ab_profile_cse(spark, docs_n: int, reps: int, words_n: int = 120) -> None:
         docs.unpersist()
 
 
+def ab_kmeans_divide(spark, vecs_n: int, reps: int, k: int = 64, dim: int = 64) -> None:
+    """r5 k-means assignment rewrite: the divided vector materialized
+    once as its own column vs the pre-r5 inline shape whose HOF divide
+    transform re-evaluated once per CENTER per row (k x O(dim)
+    interpreted work). Assignments are bit-equal (pinned by
+    test_kmeans_assign_broadcast_matches_literal and the equality
+    check inside this bench)."""
+    import pyspark.sql.functions as F
+
+    from odibel_spark.functions.kmeans import _quantize, kmeans_assign
+
+    emb = spark.range(vecs_n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: ((F.col("id") * j) % 97).cast("double") / 7.0,
+        ).alias("embedding"),
+    )
+    emb.cache().count()
+    centers = [[float((i * j) % 13) for j in range(dim)] for i in range(k)]
+
+    def inline_divide():  # pre-r5 shape, reconstructed
+        dv = F.transform(_quantize(F.col("embedding"), 1000), lambda q: q / F.lit(1000.0))
+        cands = []
+        for j, cen in enumerate(centers):
+            lit_c = F.array(*[F.lit(float(c)) for c in cen])
+            d = F.aggregate(
+                F.zip_with(dv, lit_c, lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        return emb.withColumn("cluster", F.array_min(F.array(*cands))["j"])
+
+    def run_inline() -> None:
+        materialize(inline_divide())
+
+    def run_materialized() -> None:
+        materialize(kmeans_assign(emb, centers, "vec_id", "embedding", method="literal"))
+
+    # bit-equality of the two arms, asserted once before timing
+    a = inline_divide().select("vec_id", "cluster")
+    b = kmeans_assign(emb, centers, "vec_id", "embedding", method="literal").select("vec_id", "cluster")
+    if a.exceptAll(b).count() or b.exceptAll(a).count():
+        raise AssertionError("arms disagree — refusing to record a perf artifact")
+
+    try:
+        run_ab(
+            "kmeans_divide", spark,
+            {"inline_divide": run_inline, "materialized_divide": run_materialized},
+            reps,
+            {"vectors": vecs_n, "k": k, "dim": dim,
+             "note": "literal-path k-means assignment, bit-equal arms (checked in-run); "
+                     "inline_divide re-evaluates the quantize+divide HOF transform once "
+                     "per center per row (codegen CSE skips lambda subtrees), "
+                     "materialized_divide projects it once and folds distances over the "
+                     "attribute"},
+        )
+    finally:
+        emb.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "state_store", "state_store_pressure"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "state_store", "state_store_pressure"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -641,6 +703,8 @@ def main() -> int:
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
     elif args.which == "shingle_tokenize":
         ab_shingle_tokenize(spark, args.docs, args.reps, args.words or 50)
+    elif args.which == "kmeans_divide":
+        ab_kmeans_divide(spark, args.docs, args.reps)
     elif args.which == "profile_cse":
         ab_profile_cse(spark, args.docs, args.reps, args.words or 120)
     elif args.which == "infer_filter_pushdown":
