@@ -967,3 +967,43 @@ def test_maintenance_and_changelog_preserve_state(spark, data):
         assert state(src) == expected
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------- P21: SimHash sketch mirror
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab c1.! ")), max_size=25), min_size=1, max_size=8
+    )
+)
+def test_simhash_matches_python_mirror(spark, texts):
+    """SimHash sketches vs a from-scratch Python mirror (md5-derived
+    token hash, signed bit sums over the token MULTISET — duplicate
+    tokens must count twice). Documents with no tokens after
+    normalization emit no sketch row."""
+    import hashlib
+    import re as _re
+
+    from odibel_spark.functions.dedup import simhash
+
+    bits = 16
+    docs = spark.createDataFrame(
+        [(f"d{i:02d}", t) for i, t in enumerate(texts)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=bits).collect()}
+
+    expected = {}
+    for i, t in enumerate(texts):
+        norm = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", t.lower())).strip(" ")
+        toks = [w for w in norm.split(" ") if w]
+        if not toks:
+            continue
+        sums = [0] * bits
+        for w in toks:
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            for b in range(bits):
+                sums[b] += 1 if (h >> b) & 1 else -1
+        expected[f"d{i:02d}"] = sum(2**b for b in range(bits) if sums[b] > 0)
+    assert got == expected
