@@ -20,6 +20,7 @@ Usage:
     python tools/ab_bench.py infer_filter_pushdown [--docs 20000] [--words 200] [--reps 3]
     python tools/ab_bench.py profile_cse [--docs 20000] [--words 120] [--reps 3]
     python tools/ab_bench.py kmeans_divide [--docs 200000] [--reps 3]   (--docs = vector count)
+    python tools/ab_bench.py stream_dedup [--events 1000000] [--reps 3]
     python tools/ab_bench.py state_store     [--events 1000000] [--reps 3]
     python tools/ab_bench.py state_store_pressure --events 8000000 --heap 2g --timeout 2100
         (argparse defaults are 1M/1g/900 — too light for the heap arm
@@ -604,6 +605,59 @@ def ab_profile_cse(spark, docs_n: int, reps: int, words_n: int = 120) -> None:
         docs.unpersist()
 
 
+def ab_stream_dedup(spark, events: int, reps: int) -> None:
+    """Informational: the cost of the in-stream watermarked dedup
+    stage inside the criterion pipeline. The LSN-fenced MERGE already
+    makes replays idempotent, so on a WAL whose duplicates are sparse
+    the stage is mostly insurance against duplicate-heavy feeds (it
+    keeps duplicate payloads out of the merge shuffle). Both arms
+    converge to the identical table (asserted in-run); the artifact
+    prices the insurance — the bench headline and the scaling
+    protocol KEEP the stage, as the north rule's job description
+    includes it."""
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline, WalConfig, write_wal_files
+
+    base = tempfile.mkdtemp(prefix="ab-sdedup-")
+    cpus = spark.sparkContext.defaultParallelism
+    wal = write_wal_files(
+        spark, WalConfig(n_events=events, n_convs=max(events // 50, 100), seed=42),
+        os.path.join(base, "wal"), n_files=max(8, cpus // 2),
+    )
+    seq = [0]
+    counts = {}
+
+    def run(dedup: bool) -> None:
+        seq[0] += 1
+        root = os.path.join(base, f"t{seq[0]}")
+        p = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal], table_root=os.path.join(root, "tbl"),
+                checkpoint_dir=os.path.join(root, "ckpt"), buckets=cpus,
+                merge_mode="mor", max_files_per_trigger=None, dedup_in_stream=dedup,
+            ),
+        )
+        p.run_available()
+        counts[dedup] = p.table().read().count()
+        shutil.rmtree(root, ignore_errors=True)
+
+    try:
+        run_ab(
+            "stream_dedup", spark,
+            {"with_stream_dedup": lambda: run(True), "merge_fence_only": lambda: run(False)},
+            reps,
+            {"events": events,
+             "note": "MoR pipeline, identical WAL, one-batch trigger; both arms converge "
+                     "to the identical table (the LSN-fenced MERGE dedups regardless) — "
+                     "the delta is the watermarked dropDuplicatesWithinWatermark stage's "
+                     "state + shuffle cost on a sparse-duplicate feed. Informational: the "
+                     "criterion job keeps the stage (duplicate-heavy feeds need it)."},
+        )
+        assert len(set(counts.values())) == 1, f"arms diverged: {counts}"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def ab_kmeans_divide(spark, vecs_n: int, reps: int, k: int = 64, dim: int = 64) -> None:
     """r5 k-means assignment rewrite: the divided vector materialized
     once as its own column vs the pre-r5 inline shape whose HOF divide
@@ -667,7 +721,7 @@ def ab_kmeans_divide(spark, vecs_n: int, reps: int, k: int = 64, dim: int = 64) 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "state_store", "state_store_pressure"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -703,6 +757,8 @@ def main() -> int:
         ab_lsh_clean_corpus(spark, args.docs, args.reps)
     elif args.which == "shingle_tokenize":
         ab_shingle_tokenize(spark, args.docs, args.reps, args.words or 50)
+    elif args.which == "stream_dedup":
+        ab_stream_dedup(spark, args.events, args.reps)
     elif args.which == "kmeans_divide":
         ab_kmeans_divide(spark, args.docs, args.reps)
     elif args.which == "profile_cse":
