@@ -1007,3 +1007,55 @@ def test_simhash_matches_python_mirror(spark, texts):
                 sums[b] += 1 if (h >> b) & 1 else -1
         expected[f"d{i:02d}"] = sum(2**b for b in range(bits) if sums[b] > 0)
     assert got == expected
+
+
+# ------------------------- P22: the full streaming pipeline itself
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 4})
+@given(data=events_strategy, mode=st.sampled_from(["cow", "mor"]))
+def test_streaming_pipeline_matches_lww_oracle(spark, data, mode):
+    """The whole engine, property-stated: write ANY event soup as WAL
+    parquet, run the real streaming pipeline (schema discovery →
+    watermarked dedup → dead-letter split → epoch-fenced MERGE), and
+    the resulting lake table equals the naive Python LWW oracle — in
+    both merge postures. The fixture streaming tests pin designed
+    scenarios; this pins soups nobody designed (poison ops, null keys,
+    whitespace payload edge shapes, delete-everything, empty WAL)."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    base = tempfile.mkdtemp(prefix="odibel-prop-pipe-")
+    try:
+        wal = base + "/wal"
+        spark.createDataFrame(rows, EVENT_SCHEMA).repartition(2).write.parquet(wal)
+        p = TranscriptCdcPipeline(
+            spark,
+            PipelineConfig(
+                wal_dirs=[wal], table_root=base + "/tbl",
+                checkpoint_dir=base + "/ckpt", buckets=4, merge_mode=mode,
+            ),
+        )
+        p.run_available()
+        got = {
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+            for r in p.table().read().collect()
+        }
+        assert got == _lww_oracle(rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
