@@ -56,8 +56,23 @@ def csv_to_parquet(
 
 def write_csv(df: DataFrame, path: str, n_files: int | None = None) -> None:
     """Header CSV export, output sized explicitly (the reference's
-    repartition(100)/coalesce(1) sink pattern)."""
+    repartition(100)/coalesce(1) sink pattern).
+
+    The writer keeps field whitespace: Spark's CSV WRITE defaults
+    ``ignoreLeading/TrailingWhiteSpace=true`` (the read side defaults
+    false), which silently trims padded values — a hypothesis roundtrip
+    property caught ``" "`` coming back as NULL. RFC-4180 treats
+    whitespace as part of the field, so the export disables the
+    trimming and write→read is the identity (modulo CSV's inherent
+    NULL-vs-empty-string collapse)."""
     out = df
     if n_files is not None:
         out = df.coalesce(n_files) if n_files < df.rdd.getNumPartitions() else df.repartition(n_files)
-    out.write.option("header", "true").option("escape", '"').mode("errorifexists").csv(path)
+    (
+        out.write.option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .mode("errorifexists")
+        .csv(path)
+    )

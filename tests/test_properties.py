@@ -1059,3 +1059,55 @@ def test_streaming_pipeline_matches_lww_oracle(spark, data, mode):
         assert got == _lww_oracle(rows)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------- P23: CSV write/read roundtrip
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.text(alphabet=st.sampled_from(list('ab,"; \'x')), max_size=10),
+            st.one_of(st.none(), st.text(alphabet=st.sampled_from(list('c," d')), max_size=8)),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_csv_roundtrip_identity(spark, cells):
+    """write_csv -> read_csv is the identity for ANY cell soup of
+    commas, quotes, spaces and NULLs (RFC-4180 doubled-quote escaping —
+    the posture read_csv pins precisely because Spark's backslash
+    default silently mis-parses standard CSV)."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.sources.csv_ingest import read_csv, write_csv
+
+    from pyspark.sql import types as T
+
+    rows = [(f"r{i:02d}", a, b) for i, (a, b) in enumerate(cells)]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    d = tempfile.mkdtemp(prefix="odibel-prop-csv-")
+    try:
+        write_csv(df, d + "/out", n_files=1)
+        back = read_csv(spark, d + "/out", schema=schema)
+        got = sorted(map(tuple, back.collect()))
+        # CSV has no NULL-vs-empty distinction for quoted empties: Spark
+        # writes both NULL and "" as an empty field and reads an empty
+        # field back as NULL — fold "" to NULL in the expectation (the
+        # documented interchange semantics of header CSV).
+        expected = sorted(
+            (i, a if a != "" else None, b if b != "" else None) for i, a, b in rows
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
