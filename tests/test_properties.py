@@ -1111,3 +1111,54 @@ def test_csv_roundtrip_identity(spark, cells):
         assert got == expected
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------- P24: Kafka envelope decode roundtrip
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(data=events_strategy, n_corrupt=st.integers(min_value=0, max_value=3))
+def test_kafka_envelope_roundtrip_and_corrupt_rows(spark, data, n_corrupt):
+    """encode_as_kafka -> decode_kafka_wal is the identity on the WAL
+    columns for ANY event soup (null keys/payloads, quotes in text via
+    the JSON escaping), and corrupt envelope values decode to
+    NULL-payload rows — counted, never dropped (the dead-letter
+    contract)."""
+    import pyspark.sql.types as T
+
+    from odibel_spark.sources.kafka import decode_kafka_wal, encode_as_kafka
+
+    rows = [
+        {
+            "lsn": i,
+            "op": op,
+            "conv_id": conv,
+            "turn_idx": turn,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": _BASE_TS + datetime.timedelta(seconds=i),
+        }
+        for i, (op, conv, turn, text) in enumerate(data)
+    ]
+    wal_schema = T.StructType.fromDDL(EVENT_SCHEMA)
+    events = spark.createDataFrame(rows, EVENT_SCHEMA)
+    enveloped = encode_as_kafka(events)
+    corrupt = spark.createDataFrame(
+        [(None, bytearray(b"{not json"), "transcript-wal", 0, 10**9 + i) for i in range(n_corrupt)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp())
+    decoded = decode_kafka_wal(enveloped.unionByName(corrupt), wal_schema)
+
+    got = sorted(
+        (r["lsn"], r["op"], r["conv_id"], r["turn_idx"], r["text"], r["ts"])
+        for r in decoded.collect()
+        if r["lsn"] is not None
+    )
+    expected = sorted(
+        (r["lsn"], r["op"], r["conv_id"], r["turn_idx"], r["text"], r["ts"]) for r in rows
+    )
+    assert got == expected
+    n_null = decoded.filter(F.col("lsn").isNull() & F.col("op").isNull()).count()
+    assert n_null == n_corrupt  # corrupt rows survive as NULL-payload rows
+    assert decoded.count() == len(rows) + n_corrupt
