@@ -107,10 +107,24 @@ def merge_upsert(
     ``tombstone_gc_below_lsn``: tombstones with ``_lsn`` below this
     (e.g. the stream's min unapplied LSN minus the out-of-order bound)
     are dropped during the rewrite — free compaction riding the merge.
+
+    ``fold=False`` skips the per-batch LWW pre-fold and is valid ONLY
+    on merge-on-read tables, whose ``read()`` resolves duplicate keys
+    at scan time. On a copy-on-write table the unfolded full-outer
+    merge would emit one row per SOURCE row and duplicate-key rows
+    would persist in the table silently (a property test demonstrated
+    the corruption), so that combination raises instead.
     """
     # deferred: odibel_spark.cdc re-exports the pipeline, which imports
     # this module (circular at package-init time)
     from odibel_spark.cdc.replay import last_writer_wins
+
+    if not fold and table.properties().get("merge_mode") != "mor":
+        raise ValueError(
+            "fold=False relies on read-time LWW folding, which only merge-on-read "
+            "tables perform; a copy-on-write table would silently keep duplicate-key "
+            "rows. Use fold=True (the default) or a merge_mode='mor' table."
+        )
 
     spec = table.bucket_spec()
     if spec is None:

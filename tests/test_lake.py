@@ -61,6 +61,19 @@ def test_commit_conflict(spark, tmpdir_path):
                   summary={}, watermarks={})
 
 
+def test_merge_fold_false_rejected_on_cow(spark, tmpdir_path):
+    """fold=False defers duplicate-key resolution to read-time LWW
+    folding, which only MoR tables perform — on a CoW table the
+    duplicates would land in the table silently (property-caught
+    corruption), so merge_upsert must refuse the combination."""
+    t = make_table(spark, os.path.join(tmpdir_path, "tguard"))
+    ev_schema = "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    b = spark.createDataFrame([(1, "insert", "c1", 0, "user", "hello", None, None)], ev_schema)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        merge_upsert(t, b, KEYS, fold=False)
+    assert t.read().count() == 0  # refused before any commit
+
+
 def test_merge_upsert_semantics(spark, tmpdir_path):
     t = make_table(spark, os.path.join(tmpdir_path, "t3"))
     ev_schema = "lsn long, op string, conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"

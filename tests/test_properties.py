@@ -79,17 +79,12 @@ def _lww_oracle(rows):
     }
 
 
-@settings(**PROP_SETTINGS)
-@given(data=events_strategy, parts=st.integers(min_value=1, max_value=5))
-def test_current_state_matches_python_oracle(spark, data, parts):
-    """current_state == the naive Python fold, for ANY event soup
-    (poison ops, null keys/payloads, deletes, any partitioning). LSNs
-    are assigned uniquely by position — the documented WAL contract —
-    so the winner per key is well-defined; partitioning must not
-    matter because the fold is one keyed max_by."""
-    from odibel_spark.cdc.replay import current_state
-
-    rows = [
+def _event_rows(data):
+    """(op, conv, turn, text) tuples -> WAL row dicts with positional
+    LSNs/timestamps — the one place the event shape lives (used by the
+    replay, merge, time-travel, maintenance, pipeline and Kafka
+    properties; keep in sync with EVENT_SCHEMA)."""
+    return [
         {
             "lsn": i,
             "op": op,
@@ -102,6 +97,32 @@ def test_current_state_matches_python_oracle(spark, data, parts):
         }
         for i, (op, conv, turn, text) in enumerate(data)
     ]
+
+
+def _cdc_fields():
+    from pyspark.sql import types as T
+
+    return [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+
+
+@settings(**PROP_SETTINGS)
+@given(data=events_strategy, parts=st.integers(min_value=1, max_value=5))
+def test_current_state_matches_python_oracle(spark, data, parts):
+    """current_state == the naive Python fold, for ANY event soup
+    (poison ops, null keys/payloads, deletes, any partitioning). LSNs
+    are assigned uniquely by position — the documented WAL contract —
+    so the winner per key is well-defined; partitioning must not
+    matter because the fold is one keyed max_by."""
+    from odibel_spark.cdc.replay import current_state
+
+    rows = _event_rows(data)
     df = spark.createDataFrame(rows, EVENT_SCHEMA).repartition(parts)
     got = {
         (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
@@ -530,8 +551,10 @@ def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order, fo
     the table converges to the batch-replay LWW oracle (LSN fencing
     makes stale batches harmless), and re-applying a batch afterwards
     changes nothing (idempotence). ``fold`` covers both postures:
-    copy-on-write (rewrite at merge time) and merge-on-read (delta
-    appends folded by ``read()``)."""
+    ``True`` = copy-on-write (per-batch pre-fold + rewrite at merge
+    time), ``False`` = merge-on-read (raw delta appends folded by
+    ``read()`` — the only table kind where skipping the pre-fold is
+    sound; ``merge_upsert`` raises on the CoW combination)."""
     import shutil
     import tempfile
 
@@ -541,36 +564,21 @@ def test_merge_converges_for_any_batching_and_order(spark, data, cuts, order, fo
     from odibel_spark.lake.merge import create_cdc_table, merge_upsert
     from odibel_spark.lake.table import BucketSpec
 
-    rows = [
-        {
-            "lsn": i,
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": turn,
-            "role": "user",
-            "text": text,
-            "tool": None,
-            "ts": _BASE_TS + datetime.timedelta(seconds=i),
-        }
-        for i, (op, conv, turn, text) in enumerate(data)
-    ]
+    rows = _event_rows(data)
     bounds = sorted(set(cuts) | {len(rows)})
     batches, lo = [], 0
     for hi in bounds:
         batches.append(rows[lo : min(hi, len(rows))])
         lo = min(hi, len(rows))
     batches = [b for b in batches if b] or [[]]
-    fields = [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
+    fields = _cdc_fields()
     root = tempfile.mkdtemp(prefix="odibel-prop-merge-")
     try:
-        t = create_cdc_table(spark, root, fields, BucketSpec("conv_id", 4))
+        t = create_cdc_table(
+            spark, root, fields, BucketSpec("conv_id", 4),
+            key_cols=None if fold else ["conv_id", "turn_idx"],
+            merge_mode="cow" if fold else "mor",
+        )
         applied = []
         for bi in order:
             if bi >= len(batches):
@@ -828,7 +836,8 @@ def test_time_travel_reads_equal_prefix_replay(spark, data, fold):
     """For ANY event soup split into batches applied IN ORDER: reading
     the table at each historical version equals the Python LWW oracle
     over the PREFIX of events applied up to that version — snapshot
-    isolation stated as a property, on both CoW and MoR tables."""
+    isolation stated as a property, on both CoW (``fold=True``) and
+    MoR (``fold=False``, read-time folding) tables."""
     import shutil
     import tempfile
 
@@ -838,32 +847,17 @@ def test_time_travel_reads_equal_prefix_replay(spark, data, fold):
     from odibel_spark.lake.merge import create_cdc_table, merge_upsert
     from odibel_spark.lake.table import BucketSpec
 
-    rows = [
-        {
-            "lsn": i,
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": turn,
-            "role": "user",
-            "text": text,
-            "tool": None,
-            "ts": _BASE_TS + datetime.timedelta(seconds=i),
-        }
-        for i, (op, conv, turn, text) in enumerate(data)
-    ]
+    rows = _event_rows(data)
     third = max(len(rows) // 3, 1)
     batches = [rows[i : i + third] for i in range(0, len(rows), third)] or [[]]
-    fields = [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
+    fields = _cdc_fields()
     root = tempfile.mkdtemp(prefix="odibel-prop-tt-")
     try:
-        t = create_cdc_table(spark, root, fields, BucketSpec("conv_id", 4))
+        t = create_cdc_table(
+            spark, root, fields, BucketSpec("conv_id", 4),
+            key_cols=None if fold else ["conv_id", "turn_idx"],
+            merge_mode="cow" if fold else "mor",
+        )
         versions = []  # (committed version, events applied so far)
         applied = 0
         for b in batches:
@@ -901,28 +895,9 @@ def test_maintenance_and_changelog_preserve_state(spark, data):
     from odibel_spark.lake.merge import create_cdc_table, merge_upsert
     from odibel_spark.lake.table import BucketSpec
 
-    rows = [
-        {
-            "lsn": i,
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": turn,
-            "role": "user",
-            "text": text,
-            "tool": None,
-            "ts": _BASE_TS + datetime.timedelta(seconds=i),
-        }
-        for i, (op, conv, turn, text) in enumerate(data)
-    ]
+    rows = _event_rows(data)
     half = max(len(rows) // 2, 1)
-    fields = [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
+    fields = _cdc_fields()
 
     def state(t):
         return {
@@ -1027,19 +1002,7 @@ def test_streaming_pipeline_matches_lww_oracle(spark, data, mode):
 
     from odibel_spark.cdc import PipelineConfig, TranscriptCdcPipeline
 
-    rows = [
-        {
-            "lsn": i,
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": turn,
-            "role": "user",
-            "text": text,
-            "tool": None,
-            "ts": _BASE_TS + datetime.timedelta(seconds=i),
-        }
-        for i, (op, conv, turn, text) in enumerate(data)
-    ]
+    rows = _event_rows(data)
     base = tempfile.mkdtemp(prefix="odibel-prop-pipe-")
     try:
         wal = base + "/wal"
@@ -1128,19 +1091,7 @@ def test_kafka_envelope_roundtrip_and_corrupt_rows(spark, data, n_corrupt):
 
     from odibel_spark.sources.kafka import decode_kafka_wal, encode_as_kafka
 
-    rows = [
-        {
-            "lsn": i,
-            "op": op,
-            "conv_id": conv,
-            "turn_idx": turn,
-            "role": "user",
-            "text": text,
-            "tool": None,
-            "ts": _BASE_TS + datetime.timedelta(seconds=i),
-        }
-        for i, (op, conv, turn, text) in enumerate(data)
-    ]
+    rows = _event_rows(data)
     wal_schema = T.StructType.fromDDL(EVENT_SCHEMA)
     events = spark.createDataFrame(rows, EVENT_SCHEMA)
     enveloped = encode_as_kafka(events)
