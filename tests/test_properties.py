@@ -1113,3 +1113,58 @@ def test_kafka_envelope_roundtrip_and_corrupt_rows(spark, data, n_corrupt):
     n_null = decoded.filter(F.col("lsn").isNull() & F.col("op").isNull()).count()
     assert n_null == n_corrupt  # corrupt rows survive as NULL-payload rows
     assert decoded.count() == len(rows) + n_corrupt
+
+
+# --------------------- P25: connected components vs union-find
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.sampled_from([f"v{i}" for i in range(10)]),
+            st.sampled_from([f"v{i}" for i in range(10)]),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    chain=st.integers(min_value=0, max_value=6),
+)
+def test_connected_components_match_union_find(spark, edges, chain):
+    """BOTH distributed components algorithms (label propagation and
+    alternating large/small-star) equal a first-principles union-find
+    on ANY edge soup — self-loops, duplicate/reversed edges, isolated
+    nodes, plus an appended chain (the worst case for label
+    propagation's O(diameter) rounds). Representative = min vertex id,
+    the reference's EntityCluster.representative contract."""
+    from odibel_spark.operators.graph import connected_components, connected_components_star
+
+    # chain c0-c1-...-cN stresses diameter; sharing "v0" with the soup
+    # (when both exist) also exercises cross-shape merges
+    all_edges = list(edges) + [(f"c{i}", f"c{i+1}") for i in range(chain)]
+    if chain and edges:
+        all_edges.append(("c0", "v0"))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in all_edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    for v in parent:
+        expected.setdefault(find(v), []).append(v)
+    expected = {
+        v: min(members) for members in expected.values() for v in members
+    }
+
+    df = spark.createDataFrame(all_edges or [("zzz", "zzz")], "src string, dst string")
+    if not all_edges:
+        df = df.limit(0)  # typed empty frame
+    for algo in (connected_components, connected_components_star):
+        got = {r["vertex"]: r["component"] for r in algo(df).collect()}
+        assert got == expected, algo.__name__
