@@ -1168,3 +1168,104 @@ def test_connected_components_match_union_find(spark, edges, chain):
     for algo in (connected_components, connected_components_star):
         got = {r["vertex"]: r["component"] for r in algo(df).collect()}
         assert got == expected, algo.__name__
+
+
+# ------------------- P26: k-means assignment three-way parity
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=1, max_value=4),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_kmeans_assignment_matches_python_oracle(spark, data, dim, k):
+    """Both assignment shapes (literal-folded centers AND the one-row
+    broadcast relation) equal a from-scratch Python mirror of the
+    documented arithmetic — floor(x*scale+0.5) quantize, float divide,
+    left-to-right squared-distance fold, ties to the smallest cluster
+    id — on ANY vectors/centers, including exact-tie geometries
+    (quarter-integer coordinates keep every step IEEE-exact in both
+    engines)."""
+    import math
+
+    from odibel_spark.functions.kmeans import kmeans_assign
+
+    quarter = st.integers(min_value=-8, max_value=8).map(lambda n: n / 4.0)
+    vec = st.lists(quarter, min_size=dim, max_size=dim)
+    vecs = data.draw(st.lists(vec, min_size=1, max_size=8))
+    centers = data.draw(st.lists(vec, min_size=k, max_size=k))
+
+    scale = 1000
+
+    def assign_py(v):
+        dv = [math.floor(x * float(scale) + 0.5) / float(scale) for x in v]
+        best = None
+        for j, cen in enumerate(centers):
+            s = 0.0
+            for x, c in zip(dv, cen):
+                s = s + (x - c) * (x - c)
+            if best is None or s < best[0]:  # strict: ties keep smallest j
+                best = (s, j)
+        return best[1]
+
+    expected = {f"v{i:02d}": assign_py(v) for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(f"v{i:02d}", v) for i, v in enumerate(vecs)], "id string, emb array<double>"
+    )
+    for method in ("literal", "broadcast"):
+        got = {
+            r["id"]: r["cluster"]
+            for r in kmeans_assign(df, centers, "id", "emb", method=method).collect()
+        }
+        assert got == expected, method
+
+
+# ----------------- P27: SCD-2 window builder vs Python fold
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["k0", "k1", "k2"]),
+            st.integers(min_value=-5, max_value=40),  # version
+            st.integers(min_value=-100, max_value=100),  # ts, any order
+        ),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda e: (e[0], e[1]),  # WAL contract: versions unique per key
+    ),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_temporal_windows_match_python_scd2_fold(spark, events, parts):
+    """build_temporal_windows == a first-principles SCD-2 fold for ANY
+    change feed with per-key-unique versions: each event's window is
+    closed by the key's NEXT version (by version order, not arrival or
+    timestamp order — out-of-order timestamps just produce inverted
+    [t_start, t_end) spans, faithfully), the last stays open at the
+    OPEN_END sentinel, and input partitioning is irrelevant."""
+    from odibel_spark.operators.temporal import OPEN_END, build_temporal_windows
+
+    expected = set()
+    by_key = {}
+    for k, v, ts in events:
+        by_key.setdefault(k, []).append((v, ts))
+    for k, evs in by_key.items():
+        evs.sort()
+        for (v, ts), nxt in zip(evs, evs[1:] + [None]):
+            v_end, t_end = (nxt[0], nxt[1]) if nxt else (None, OPEN_END)
+            expected.add((k, v, v_end, ts, t_end))
+
+    df = spark.createDataFrame(
+        events or [("zzz", 0, 0)], "key string, version int, ts long"
+    )
+    if not events:
+        df = df.limit(0)
+    got = {
+        (r["key"], r["v_start"], r["v_end"], r["t_start"], r["t_end"])
+        for r in build_temporal_windows(
+            df.repartition(parts), ["key"], "version", "ts"
+        ).collect()
+    }
+    assert got == expected
