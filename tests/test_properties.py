@@ -1269,3 +1269,63 @@ def test_temporal_windows_match_python_scd2_fold(spark, events, parts):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------- P28: exact cosine top-k + full-probe IVF parity
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(data=st.data(), dim=st.integers(min_value=1, max_value=4))
+def test_cosine_topk_matches_python_and_full_probe_ivf(spark, data, dim):
+    """cosine_top_k == a Python mirror of its exact arithmetic —
+    left-to-right dot/norm folds (bit-identical IEEE ops on
+    quarter-integer vectors), Spark's HALF_UP round to 6 places, ties
+    broken by ascending id — and ivf_top_k_trained probing ALL lists
+    degenerates to the same exact result (the pruning is the only
+    approximation in the IVF path)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from odibel_spark.functions.kmeans import kmeans_assign
+    from odibel_spark.functions.similarity import cosine_top_k, ivf_top_k_trained
+
+    quarter = st.integers(min_value=-8, max_value=8).map(lambda n: n / 4.0)
+    # at least one nonzero coordinate: zero-norm rows/queries divide to
+    # NaN, whose ordering is engine lore, not the contract under test
+    nonzero_vec = st.lists(quarter, min_size=dim, max_size=dim).filter(
+        lambda v: any(x != 0.0 for x in v)
+    )
+    vecs = data.draw(st.lists(nonzero_vec, min_size=1, max_size=10))
+    query = data.draw(nonzero_vec)
+    k = data.draw(st.integers(min_value=1, max_value=6))
+
+    def cos_py(v):
+        dot = nv = 0.0
+        for x, y in zip(v, query):
+            dot = dot + x * y
+        for x in v:
+            nv = nv + x * x
+        nq = 0.0
+        for y in query:
+            nq = nq + y * y
+        c = dot / (math.sqrt(nv) * math.sqrt(nq))
+        # Spark round() on double: shortest-repr decimal, HALF_UP
+        return float(Decimal(repr(c)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    rows = [(f"v{i:02d}", v) for i, v in enumerate(vecs)]
+    scored = sorted(((cos_py(v), i) for i, v in rows), key=lambda t: (-t[0], t[1]))
+    expected = [(i, c) for c, i in scored[:k]]
+
+    df = spark.createDataFrame(rows, "id string, emb array<double>")
+    got = [(r["id"], r["cosine"]) for r in cosine_top_k(df, query, "id", "emb", k=k).collect()]
+    assert got == expected
+
+    centers = data.draw(st.lists(nonzero_vec, min_size=1, max_size=3))
+    clustered = kmeans_assign(df, centers, "id", "emb")
+    full_probe = [
+        (r["id"], r["cosine"])
+        for r in ivf_top_k_trained(
+            clustered, centers, query, "id", "emb", k=k, nprobe=len(centers)
+        ).collect()
+    ]
+    assert full_probe == expected
