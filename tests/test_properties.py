@@ -1329,3 +1329,61 @@ def test_cosine_topk_matches_python_and_full_probe_ivf(spark, data, dim):
         ).collect()
     ]
     assert full_probe == expected
+
+
+# -------------- P29: exact packing assignment vs Python mirror
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    tokens=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=90)),
+        min_size=0,
+        max_size=30,
+    ),
+    buckets=st.integers(min_value=1, max_value=4),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_pack_documents_matches_python_mirror(spark, tokens, buckets, parts):
+    """Beyond P2's invariants: the EXACT pack assignment equals a
+    from-scratch mirror of the documented algorithm — md5-derived
+    bucketing, doc-id-order greedy fold, overflow-starts-a-new-pack
+    with the row-index guard (an oversize doc never shares with
+    preceding zero-token docs; nothing joins its pack after), null
+    token counts packed as zero — independent of input partitioning.
+    This is the determinism the engine promises: same corpus, same
+    parameters, identical assignment on any cluster size or engine."""
+    import hashlib
+
+    from odibel_spark.functions.packing import pack_documents
+
+    cap = 50
+    rows = [(f"d{i:03d}", t) for i, t in enumerate(tokens)]
+
+    def bucket_of(doc_id):
+        return int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % buckets
+
+    expected = {}
+    by_bucket = {}
+    for doc_id, t in rows:
+        by_bucket.setdefault(bucket_of(doc_id), []).append((doc_id, 0 if t is None else t))
+    for b, docs in by_bucket.items():
+        docs.sort()
+        seq, acc = 0, 0
+        for i, (doc_id, t) in enumerate(docs):
+            if i > 0 and acc + t > cap:
+                seq += 1
+                acc = 0
+            expected[doc_id] = (0 if t is None else t, b, seq, t is not None and t > cap)
+            acc += t
+
+    df = spark.createDataFrame(rows or [("zzz", 0)], "doc_id string, n_tokens long")
+    if not rows:
+        df = df.limit(0)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bucket"], r["pack_seq"], r["oversize"])
+        for r in pack_documents(
+            df.repartition(parts), max_tokens=cap, buckets=buckets
+        ).collect()
+    }
+    assert got == expected
