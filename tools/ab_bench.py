@@ -25,6 +25,7 @@ Usage:
     python tools/ab_bench.py state_store_pressure --events 8000000 --heap 2g --timeout 2100
         (argparse defaults are 1M/1g/900 — too light for the heap arm
         to OOM; the recorded artifact's invocation is the line above)
+    python tools/ab_bench.py triples_cache [--reps 3]   (negative result, kept on purpose)
 """
 
 from __future__ import annotations
@@ -719,9 +720,64 @@ def ab_kmeans_divide(spark, vecs_n: int, reps: int, k: int = 64, dim: int = 64) 
         emb.unpersist()
 
 
+def ab_triples_cache(spark, reps: int, sf_dir: str) -> None:
+    """Negative result, recorded on purpose: Spark-cache()ing the
+    derived triple table that q_sample_suite's three samplers (and
+    q_schema_graph_rollup's typing joins) each reference ~3x is a
+    PESSIMIZATION, not a win. The derivation is pure codegen column
+    arithmetic over a page-cached parquet scan — recomputing it per
+    branch is cheaper than materializing InMemoryRelation batches
+    inside the one timed action (cache build serializes the first
+    stage and pays the memory-copy tax). A naive sequential probe had
+    shown a 4x "win" that was entirely JIT/page-cache warmup order —
+    the exact confound BENCH/BASELINE.md's interleaved-only ground
+    rule exists for. Kept as the auditable reason the registry queries
+    stay uncached."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    import __spark_entry__ as E
+    from odibel_spark.functions.dedup import clear_dedup_caches, _cache_scoped
+    from odibel_spark.operators.sampling import (
+        sample_entities_all_types,
+        sample_entities_by_type_targets,
+        sample_entities_global,
+    )
+    from pyspark.sql import functions as F
+
+    def suite(t) -> None:
+        parts = [
+            ("global", sample_entities_global(t, sample_size=40, related_per_seed=3, seed=13)),
+            ("targets", sample_entities_by_type_targets(t, E._TYPE_TARGETS, related_per_seed=2, seed=7)),
+            ("all_types", sample_entities_all_types(t, target_per_type=4, related_per_seed=2, seed=5)),
+        ]
+        out = None
+        for mode, df in parts:
+            tagged = df.select(F.lit(mode).alias("mode"), "s", "p", "o", "isLiteral")
+            out = tagged if out is None else out.unionByName(tagged)
+        materialize(out)
+
+    def triples():
+        return E._events_triples(E._t(spark, sf_dir, "events"))
+
+    def run_cached() -> None:
+        suite(_cache_scoped(triples()))
+        clear_dedup_caches()  # each cell rebuilds the cache, like a cold query
+
+    run_ab(
+        "triples_cache", spark,
+        {"recompute_per_branch": lambda: suite(triples()), "cached_triples": run_cached},
+        reps,
+        {"sf_dir": sf_dir,
+         "note": "sample_suite body; cached arm clears its cache per cell so every "
+                 "cell pays the in-action cache build, matching the registry query's "
+                 "cold-run context"},
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure", "triples_cache"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -767,6 +823,8 @@ def main() -> int:
         ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words or 200)
     elif args.which == "state_store":
         ab_state_store(spark, args.events, args.reps)
+    elif args.which == "triples_cache":
+        ab_triples_cache(spark, args.reps, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     else:
         ab_lsh_mass_dup(spark, args.copies, args.reps)
     spark.stop()
