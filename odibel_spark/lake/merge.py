@@ -114,6 +114,17 @@ def merge_upsert(
     merge would emit one row per SOURCE row and duplicate-key rows
     would persist in the table silently (a property test demonstrated
     the corruption), so that combination raises instead.
+
+    The MoR trade, measured (interleaved, 1M events, 3.4x key
+    duplication, 32 cores): raw append commits ~1.15x faster than the
+    pre-folded delta — the max_by aggregation costs more than writing
+    the extra rows — but every reader then folds 3.4x more delta rows
+    until compaction catches up. The pre-fold stays the default
+    because the CDC pipeline is read-amplification-sensitive (the
+    changelog, incremental dedup, and analytics all scan the deltas);
+    ``fold=False`` suits burst backfills that compact immediately
+    after. Convergence under either posture, any batching/order, is
+    property-proven (test_merge_converges_for_any_batching_and_order).
     """
     # deferred: odibel_spark.cdc re-exports the pipeline, which imports
     # this module (circular at package-init time)
