@@ -1387,3 +1387,117 @@ def test_pack_documents_matches_python_mirror(spark, tokens, buckets, parts):
         ).collect()
     }
     assert got == expected
+
+
+# ------------ P30: incremental dedup vs full-composition mirror
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    corpus=st.lists(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy cat",
+                "pack my box with five dozen liquor jugs",
+                "sphinx of black quartz judge my vow",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    batch=st.lists(
+        st.sampled_from(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy RAT",
+                "pack my box with five dozen liquor jugs",
+                "completely unrelated novel content here",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    threshold=st.sampled_from([0.25, 0.75, 1.0]),
+)
+def test_incremental_dedup_matches_composition_mirror(spark, corpus, batch, threshold):
+    """The whole incremental-dedup composition — fingerprint collapse
+    to min-id representatives, MinHash signatures, banded buckets,
+    candidate join, component-agreement estimator, threshold, new-side
+    re-expansion — vs a from-scratch Python mirror, for ANY corpus/
+    batch mix of duplicates, near-duplicates, novel and empty texts.
+    Zero-shingle documents must be silently novel (no signature, no
+    verdict row); corpus side stays collapsed with its group size."""
+    import hashlib
+
+    from odibel_spark.functions.dedup import MINHASH_P
+    from odibel_spark.functions.dedup_incremental import (
+        incremental_near_duplicates,
+        minhash_index,
+    )
+
+    n, k, bands = 2, 8, 4
+    rows_per_band = k // bands
+
+    def norm_fp(t):
+        import re as _re
+
+        s = _re.sub(r"\s+", " ", _re.sub(r"[^\w\s]", "", t.lower())).strip(" ")
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def sig_of(t):
+        sh = _py_shingles(t, n)
+        if not sh:
+            return None
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        return tuple(
+            min((h * (2 * j + 1) + 7919 * (j + 1)) % MINHASH_P for h in hs) for j in range(k)
+        )
+
+    def collapse(rows):
+        groups = {}
+        for doc_id, t in rows:
+            groups.setdefault(norm_fp(t), []).append((doc_id, t))
+        return {
+            min(i for i, _ in g): (g[0][1], [i for i, _ in g]) for g in groups.values()
+        }  # rep -> (content, member ids); byte-identical content per group
+
+    c_rows = [(f"c{i:02d}", t) for i, t in enumerate(corpus)]
+    b_rows = [(f"b{i:02d}", t) for i, t in enumerate(batch)]
+    c_reps = collapse(c_rows)
+    b_reps = collapse(b_rows)
+
+    expected = set()
+    for nrep, (nt, nmembers) in b_reps.items():
+        ns = sig_of(nt)
+        if ns is None:
+            continue
+        for crep, (ct, cmembers) in c_reps.items():
+            cs = sig_of(ct)
+            if cs is None:
+                continue
+            shares_bucket = any(
+                ns[b * rows_per_band : (b + 1) * rows_per_band]
+                == cs[b * rows_per_band : (b + 1) * rows_per_band]
+                for b in range(bands)
+            )
+            if not shares_bucket:
+                continue
+            est = sum(a == c for a, c in zip(ns, cs)) / float(k)
+            if est >= threshold:
+                for new_id in nmembers:
+                    expected.add((new_id, crep, round(est, 9), len(cmembers)))
+
+    idx = minhash_index(
+        spark.createDataFrame(c_rows, "doc_id string, text string"), n=n, k=k, bands=bands
+    )
+    got = {
+        (r["new_id"], r["corpus_id"], round(r["est_jaccard"], 9), r["corpus_dup_count"])
+        for r in incremental_near_duplicates(
+            spark.createDataFrame(b_rows, "doc_id string, text string"),
+            idx, n=n, k=k, bands=bands, threshold=threshold,
+        ).collect()
+    }
+    assert got == expected
