@@ -1501,3 +1501,83 @@ def test_incremental_dedup_matches_composition_mirror(spark, corpus, batch, thre
         ).collect()
     }
     assert got == expected
+
+
+# -------- P31: keyed streaming state vs Python fold, any batching
+
+
+_P31_SEQ = [0]
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 4})
+@given(
+    events=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.sampled_from(["c0", "c1", "c2"])),
+            st.integers(min_value=0, max_value=50),  # lsn (duplicates allowed)
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=19), max_size=3, unique=True),
+)
+def test_running_state_matches_python_fold_any_batching(spark, events, cuts):
+    """The applyInPandasWithState running (LSN high-water mark, event
+    count) operator, replayed one file per micro-batch over ANY event
+    soup split at ANY boundaries: the latest emission per key — null
+    keys included, which form their own state group — equals the naive
+    Python fold, proving state survives arbitrary batch interleavings
+    of the keys."""
+    import os
+    import shutil
+    import tempfile
+
+    from odibel_spark.streaming import running_turn_state
+
+    _P31_SEQ[0] += 1
+    sink = f"p31_state_{_P31_SEQ[0]}"
+    root = tempfile.mkdtemp(prefix="odibel-prop-state-")
+    try:
+        bounds = sorted(set(cuts) | {len(events)})
+        batches, lo = [], 0
+        for hi in bounds:
+            if events[lo : min(hi, len(events))]:
+                batches.append(events[lo : min(hi, len(events))])
+            lo = min(hi, len(events))
+        wal = os.path.join(root, "wal")
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, "conv_id string, lsn long").coalesce(1).write.parquet(
+                os.path.join(wal, f"f{i:02d}")
+            )
+        stream = (
+            spark.readStream.schema("conv_id string, lsn long")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(wal)
+        )
+        q = (
+            running_turn_state(stream, "conv_id")
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        # a key's emissions are monotone in both fields, so max = latest
+        got = {
+            r["conv_id"]: (r["applied_lsn_hwm"], r["n_events_total"])
+            for r in spark.sql(
+                f"SELECT conv_id, max(applied_lsn_hwm) applied_lsn_hwm, "
+                f"max(n_events_total) n_events_total FROM {sink} GROUP BY conv_id"
+            ).collect()
+        }
+        expected = {}
+        for conv, lsn in events:
+            hwm, n = expected.get(conv, (None, 0))
+            expected[conv] = (lsn if hwm is None else max(hwm, lsn), n + 1)
+        assert got == expected
+    finally:
+        spark.catalog.dropTempView(sink)
+        shutil.rmtree(root, ignore_errors=True)
