@@ -1581,3 +1581,55 @@ def test_running_state_matches_python_fold_any_batching(spark, events, cuts):
     finally:
         spark.catalog.dropTempView(sink)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------- P32: N-Triples parser robustness on arbitrary garbage
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    lines=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list('<>ab"é#. \t_:x9')),
+            max_size=25,
+        ),
+        min_size=0,
+        max_size=15,
+    )
+)
+def test_ntriples_parser_robust_and_idempotent_on_garbage(spark, lines):
+    """A web-scale RDF feed is dirty; the parser's contract on ANY byte
+    soup (random bracket/quote/dot/comment/whitespace shreds): it never
+    throws, every surviving row has non-empty s/p/o with no internal
+    whitespace in s/p and no comment-prefixed s, and one
+    parse -> serialize -> parse round trip is the identity on the
+    survivors — dropping malformed lines is CONVERGENT, not lossy-again
+    on its own output."""
+    import os
+    import shutil
+    import tempfile
+
+    from odibel_spark.sources.rdf import parse_ntriples, serialize_ntriples
+
+    root = tempfile.mkdtemp(prefix="odibel-prop-nt-")
+    try:
+        src = os.path.join(root, "garbage.nt")
+        with open(src, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines))
+        parsed = parse_ntriples(spark, src)
+        rows = [(r["s"], r["p"], r["o"], r["isLiteral"]) for r in parsed.collect()]
+        for s, p, o, lit in rows:
+            assert s and p and o, (s, p, o)
+            assert not any(ch.isspace() for ch in s + p), (s, p)
+            assert not s.startswith("#"), s
+            assert lit == o.startswith('"'), (o, lit)
+
+        out = os.path.join(root, "round.nt")
+        serialize_ntriples(parsed, out)
+        again = sorted(
+            (r["s"], r["p"], r["o"], r["isLiteral"])
+            for r in parse_ntriples(spark, out).collect()
+        )
+        assert again == sorted(rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
