@@ -1633,3 +1633,137 @@ def test_ntriples_parser_robust_and_idempotent_on_garbage(spark, lines):
         assert again == sorted(rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------- P33: deterministic samplers' exact selection vs mirror
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1", "g2"]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=99),
+    parts=st.integers(min_value=1, max_value=4),
+)
+def test_samplers_exact_selection_matches_md5_mirror(spark, rows, k, seed, parts):
+    """top_k_per_group and seeded_sample pick EXACTLY the rows a Python
+    mirror of the md5 rank key picks — including concat_ws's
+    null-skipping (a null id contributes nothing to the key) — on any
+    input partitioning. This is the reproducibility contract the
+    samplers advertise: same seed, same selection, any engine, any
+    cluster size."""
+    import hashlib
+
+    from odibel_spark.operators.relational import seeded_sample, top_k_per_group
+
+    def rank_key(vid):
+        parts_ = [str(seed)] + ([] if vid is None else [str(vid)])
+        return hashlib.md5("\x1f".join(parts_).encode()).hexdigest()
+
+    df = spark.createDataFrame(rows or [("zz", 0)], "g string, vid int")
+    if not rows:
+        df = df.limit(0)
+    df = df.repartition(parts)
+
+    def nsafe(t):  # sort (g, vid) tuples with None vids
+        return (t[0], t[1] is None, t[1] if t[1] is not None else 0)
+
+    by_group = {}
+    for g, vid in rows:
+        by_group.setdefault(g, []).append(vid)
+    expected_topk = sorted(
+        (
+            (g, vid)
+            for g, vids in by_group.items()
+            for vid in sorted(vids, key=rank_key)[:k]
+        ),
+        key=nsafe,
+    )
+    got_topk = sorted(
+        (
+            (r["g"], r["vid"])
+            for r in top_k_per_group(df, ["g"], k, seed=seed, id_cols=["vid"]).collect()
+        ),
+        key=nsafe,
+    )
+    assert got_topk == expected_topk
+
+    # global sampler: the same key over BOTH columns, global order+limit
+    def gkey(row):
+        g, vid = row
+        parts_ = [str(seed), g] + ([] if vid is None else [str(vid)])
+        return hashlib.md5("\x1f".join(parts_).encode()).hexdigest()
+
+    expected_sample = sorted(sorted(rows, key=gkey)[: 2 * k], key=nsafe)
+    got_sample = sorted(
+        ((r["g"], r["vid"]) for r in seeded_sample(df, 2 * k, seed=seed).collect()),
+        key=nsafe,
+    )
+    assert got_sample == expected_sample
+
+
+# -------------- P34: decontamination overlap semantics vs mirror
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    corpus=st.lists(
+        st.sampled_from(
+            [
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma zeta",
+                "one two three four five six",
+                "beta gamma",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    bench=st.lists(
+        st.sampled_from(["alpha beta gamma", "three four", "nothing shared here", ""]),
+        min_size=1,
+        max_size=4,
+    ),
+    min_shared=st.integers(min_value=1, max_value=3),
+)
+def test_contamination_matches_python_set_mirror(spark, corpus, bench, min_shared):
+    """benchmark_contamination == distinct-shingle set intersection
+    computed from first principles: pair (doc, bench) reported iff they
+    share >= min_shared distinct word n-grams, with overlap_ratio =
+    shared / doc's own shingle count (containment in the DOCUMENT — the
+    decontamination direction) — zero-shingle docs and benchmarks
+    silently absent."""
+    from odibel_spark.functions.dedup import benchmark_contamination
+
+    n = 2
+    c_rows = [(f"d{i:02d}", t) for i, t in enumerate(corpus)]
+    b_rows = [(f"q{i:02d}", t) for i, t in enumerate(bench)]
+
+    expected = set()
+    for did, dt in c_rows:
+        dsh = _py_shingles(dt, n)
+        if not dsh:
+            continue
+        for bid, bt in b_rows:
+            bsh = _py_shingles(bt, n)
+            shared = len(dsh & bsh)
+            if shared >= min_shared:
+                expected.add((did, bid, shared, len(dsh), round(shared / len(dsh), 6)))
+
+    got = {
+        (r["doc_id"], r["bench_id"], r["n_shared"], r["doc_shingles"], r["overlap_ratio"])
+        for r in benchmark_contamination(
+            spark.createDataFrame(c_rows, "doc_id string, text string"),
+            spark.createDataFrame(b_rows, "bench_id string, text string"),
+            n=n, min_shared=min_shared,
+        ).collect()
+    }
+    assert got == expected
