@@ -46,8 +46,16 @@ def parse_ntriples(spark: SparkSession, path: str) -> DataFrame:
     (rdf2.py:58-62): fewer than 3 terms (``getItem(2)`` is null under
     split-with-limit) or an empty object after stripping the terminator
     (``"<s> <p> ."``) filter out instead of yielding a degenerate row.
+
+    The trim is a regexp over ``\\s``, NOT Spark's ``trim`` (ASCII
+    space only): a hypothesis property caught ``"\\t9 9."`` surviving
+    the space-trim, where the leading tab then split into an EMPTY
+    subject token — and a tab-indented ``#`` comment line dodging the
+    comment filter the same way.
     """
-    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    from odibel_spark.functions.text import _ws_trim
+
+    lines = spark.read.text(path).select(_ws_trim(F.col("value")).alias("line"))
     lines = lines.filter(
         (F.length("line") > 0) & ~F.col("line").startswith("#") & F.col("line").rlike(_TERMINATOR)
     )
@@ -79,8 +87,12 @@ def parse_nquads(spark: SparkSession, path: str) -> DataFrame:
     sibling of parse_ntriples (reference emits quads via SerUtil.scala:
     27-40; no reader existed there — round-trip closure added here).
     The graph term is the LAST token before the terminator, so literal
-    objects containing spaces survive."""
-    lines = spark.read.text(path).select(F.trim(F.col("value")).alias("line"))
+    objects containing spaces survive. Whitespace-trimmed with the same
+    regexp as parse_ntriples — under the ASCII-only ``trim`` a leading
+    tab broke the ``^(\\S+)`` anchor and silently dropped valid quads."""
+    from odibel_spark.functions.text import _ws_trim
+
+    lines = spark.read.text(path).select(_ws_trim(F.col("value")).alias("line"))
     lines = lines.filter(
         (F.length("line") > 0) & ~F.col("line").startswith("#") & F.col("line").rlike(_TERMINATOR)
     )
