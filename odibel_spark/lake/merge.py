@@ -61,6 +61,7 @@ def create_cdc_table(
     bucket: BucketSpec,
     key_cols: list[str] | None = None,
     merge_mode: str = "cow",
+    stats_columns: list[str] | None = None,
 ) -> LakeTable:
     """CDC target table. ``merge_mode``:
 
@@ -71,6 +72,14 @@ def create_cdc_table(
       table size; reads fold by key (``LakeTable.read``), compaction
       (``compact_buckets``) bounds the fold. Optimal write-heavy — the
       10^10-events/day ingest posture.
+
+    ``stats_columns`` (default: bucket column + merge keys + ``_lsn``)
+    names the columns whose per-file min/max bounds every commit
+    records in the manifest (harvested from parquet footer statistics —
+    free, the footers are read for row counts anyway). They power
+    ``LakeTable.read(where_ranges=...)`` file skipping and give each
+    data file an applied-LSN range for lineage at a glance; columns a
+    file lacks statistics for are simply not recorded.
     """
     if merge_mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge_mode {merge_mode!r}")
@@ -79,6 +88,12 @@ def create_cdc_table(
         if not key_cols:
             raise ValueError("mor tables need key_cols (read-time fold keys)")
         props["merge_keys"] = list(key_cols)
+    if stats_columns is None:
+        stats_columns = list(
+            dict.fromkeys([bucket.column, *(key_cols or []), LSN_FIELD])
+        )
+    if stats_columns:
+        props["stats_columns"] = list(stats_columns)
     return LakeTable.create(spark, root, cdc_table_schema(fields), bucket, properties=props)
 
 

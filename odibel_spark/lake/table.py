@@ -81,10 +81,108 @@ class BucketSpec:
         return BucketSpec(d["column"], d["buckets"]) if d else None
 
 
-def _file_rows(path: str) -> int:
+def _stats_encode(v):
+    """Footer min/max value → JSON-safe manifest form. Datetimes keep
+    their type through a tagged dict (plain ISO strings would compare
+    as strings on decode); binary bounds are dropped — bytes have no
+    pruning-relevant order for this engine's columns."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return v
+    if isinstance(v, datetime.datetime):
+        return {"ts": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"d": v.isoformat()}
+    if isinstance(v, bytes):
+        return None
+    return v  # int / float / str — JSON-native
+
+
+def _stats_decode(v):
+    import datetime
+
+    if isinstance(v, dict):
+        if "ts" in v:
+            return datetime.datetime.fromisoformat(v["ts"])
+        if "d" in v:
+            return datetime.date.fromisoformat(v["d"])
+    return v
+
+
+def _cmp_key(v):
+    """Normalize for bound comparison: pyarrow returns Spark-written
+    TIMESTAMP_MICROS stats as tz-aware datetimes while callers usually
+    pass naive (session-UTC) bounds — strip to naive UTC so the two
+    compare instead of raising."""
+    import datetime
+
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+def _file_meta(path: str, stats_cols: tuple[str, ...] = ()) -> tuple[int, dict]:
+    """Row count plus per-column ``[min, max]`` bounds from the parquet
+    footer — Iceberg's ``lower_bounds``/``upper_bounds``, harvested from
+    statistics the writer already computed, so collecting them costs no
+    data scan (the footer is being opened for the row count regardless).
+
+    A column is recorded only if EVERY row group carries usable min/max
+    for it; partial statistics would make the bound a lie, so the
+    column is omitted instead (= unknown, never pruned). String bounds
+    are trusted as written: the parquet spec requires truncated string
+    stats to stay valid bounds (round-up on max), and the same stats
+    drive Spark's own row-group pushdown."""
     import pyarrow.parquet as pq
 
-    return pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    if not stats_cols or md.num_row_groups == 0:
+        return md.num_rows, {}
+    idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    stats: dict = {}
+    for c in stats_cols:
+        i = idx.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        usable = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                usable = False
+                break
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        lo, hi = _stats_encode(lo), _stats_encode(hi)
+        if usable and lo is not None and hi is not None:
+            stats[c] = [lo, hi]
+    return md.num_rows, stats
+
+
+def _file_in_ranges(fdesc: dict, ranges: dict) -> bool:
+    """Keep-file decision for ``LakeTable.read(where_ranges=...)``:
+    False only when the file's recorded bounds PROVE it disjoint from
+    every requested range. Missing stats (old manifests, all-null
+    chunks, uncollected columns) keep the file — unknown never prunes."""
+    st = fdesc.get("stats") or {}
+    for c, (lo, hi) in ranges.items():
+        b = st.get(c)
+        if not b:
+            continue
+        fmin, fmax = _stats_decode(b[0]), _stats_decode(b[1])
+        try:
+            if lo is not None and _cmp_key(fmax) < _cmp_key(lo):
+                return False
+            if hi is not None and _cmp_key(fmin) > _cmp_key(hi):
+                return False
+        except TypeError:
+            raise ValueError(
+                f"where_ranges[{c!r}] bound of type "
+                f"{type(lo if lo is not None else hi).__name__} does not compare "
+                f"with the column's parquet statistics ({type(fmin).__name__})"
+            ) from None
+    return True
 
 
 def _arrow_type(dt: T.DataType):
@@ -283,19 +381,23 @@ class LakeTable:
                     found.append((os.path.join(dirpath, n), b))
         # footer reads are driver-side IO — overlap them; a serial walk
         # over hundreds of commit files otherwise sits on the streaming
-        # batch's critical path
+        # batch's critical path. Column bounds ride along for free: the
+        # footer is already open, its statistics were computed by the
+        # writer.
         from concurrent.futures import ThreadPoolExecutor
 
+        stats_cols = tuple(self.properties().get("stats_columns") or ())
         with ThreadPoolExecutor(max_workers=8) as ex:
-            rows = list(ex.map(lambda fb: _file_rows(fb[0]), found))
+            metas = list(ex.map(lambda fb: _file_meta(fb[0], stats_cols), found))
         return [
             {
                 "path": os.path.relpath(p, self.root),
                 "bucket": b,
                 "rows": r,
                 "bytes": os.path.getsize(p),
+                **({"stats": s} if s else {}),
             }
-            for (p, b), r in zip(found, rows)
+            for (p, b), (r, s) in zip(found, metas)
         ]
 
     def files(self, version: int | None = None, buckets: set[int] | None = None) -> list[dict]:
@@ -385,9 +487,25 @@ class LakeTable:
         with_bucket_col: bool = False,
         include_tombstones: bool = False,
         fold: bool | None = None,
+        where_ranges: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read (time travel via ``version``); optionally
         restricted to a bucket subset — the MERGE fast path.
+
+        ``where_ranges`` maps column → ``(lo, hi)`` (either end may be
+        ``None`` for open): data files whose manifest column bounds
+        (``properties["stats_columns"]``, harvested from parquet footer
+        statistics at commit time — Iceberg's lower/upper bounds) prove
+        them disjoint from the range are skipped before Spark ever
+        plans the scan, and the residual row filter ``lo <= col <= hi``
+        (nulls excluded, SQL semantics) is applied to the survivors —
+        the result is exactly ``read().filter(col BETWEEN lo AND hi)``.
+        Files with no recorded bounds for a column are always kept. On
+        a merge-on-read FOLD read, range columns must be merge keys:
+        every version of a key shares its key values, so key-range
+        pruning can never split a key's delta history, while pruning by
+        a payload value could drop the file holding a key's latest
+        version and silently fold to stale state — such calls raise.
 
         Merge-on-read tables (``properties.merge_mode == "mor"``) carry
         multiple versions of a key across delta files; the read applies
@@ -401,14 +519,42 @@ class LakeTable:
         """
         schema = self.schema(version)
         fs = self.files(version, buckets)
+        props = self.properties(version)
+        if fold is None:
+            fold = props.get("merge_mode") == "mor"
+        if where_ranges:
+            bad = [c for c in where_ranges if c not in schema.fieldNames()]
+            if bad:
+                raise ValueError(f"where_ranges columns not in table schema: {bad}")
+            malformed = {c: r for c, r in where_ranges.items() if len(tuple(r)) != 2}
+            if malformed:
+                raise ValueError(f"where_ranges values must be (lo, hi) pairs: {malformed}")
+            if fold:
+                keys = set(props.get("merge_keys") or ())
+                nonkey = [c for c in where_ranges if c not in keys]
+                if nonkey:
+                    raise ValueError(
+                        f"where_ranges on non-merge-key columns {nonkey} is unsound "
+                        "on a merge-on-read fold read: payload-range pruning could "
+                        "drop the delta file holding a key's LATEST version while "
+                        "older versions survive, silently folding to stale state. "
+                        "Range merge keys here, or filter the folded DataFrame."
+                    )
+            fs = [f for f in fs if _file_in_ranges(f, where_ranges)]
         if not fs:
             df = self.spark.createDataFrame([], schema)
         else:
             paths = [os.path.join(self.root, f["path"]) for f in fs]
             df = self.spark.read.schema(schema).parquet(*paths)
-        props = self.properties(version)
-        if fold is None:
-            fold = props.get("merge_mode") == "mor"
+        if where_ranges:
+            # residual filter: bounds are file-granular, surviving
+            # files still hold out-of-range rows. Applied pre-fold —
+            # sound because fold reads only reach here on key columns.
+            for c, (lo, hi) in where_ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         if fold:
             keys = props.get("merge_keys")
             if not keys:
@@ -509,12 +655,14 @@ class LakeTable:
         os.makedirs(commit_dir, exist_ok=True)
         path = os.path.join(commit_dir, "part-00000.parquet")
         pq.write_table(tbl, path, compression="snappy")
+        _, stats = _file_meta(path, tuple(self.properties().get("stats_columns") or ()))
         new = [
             {
                 "path": os.path.relpath(path, self.root),
                 "bucket": None,
                 "rows": len(rows),
                 "bytes": os.path.getsize(path),
+                **({"stats": stats} if stats else {}),
             }
         ]
         return self._next_commit(new, lambda c: c["files"], self._tagged(summary, "append"))

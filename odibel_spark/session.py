@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (Spark's legacy default) carries NO footer min/max
+        # statistics — TIMESTAMP_MICROS restores them, which the lake
+        # layer harvests into per-file column bounds for file skipping
+        # (lake/table.py stats_columns). Every modern reader (Spark,
+        # DuckDB, pyarrow) prefers the annotated int64 form anyway.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -360,3 +360,108 @@ def test_changes_raises_past_retention(spark, tmpdir_path):
         t.changes(0).count()
     # post-compaction cursors still work: no vacuumed files in range
     assert t.changes(t.current_version()).count() == 0
+
+
+# ---------------------------------------------------------------- stats
+
+
+def _mk_rows(lsns, conv="c1", text="a"):
+    import datetime
+
+    return [
+        (conv, i, "user", text, None, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=l), l, False)
+        for i, l in enumerate(lsns)
+    ]
+
+
+def test_manifest_records_column_bounds(spark, tmpdir_path):
+    """Every commit harvests per-file min/max for the stats_columns
+    property (Iceberg lower/upper bounds) out of the parquet footers —
+    including timestamp columns (TIMESTAMP_MICROS output restores the
+    stats INT96 never had)."""
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "stats1"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 2), key_cols=KEYS,
+        stats_columns=["conv_id", "turn_idx", "_lsn", "ts"],
+    )
+    t.append(spark.createDataFrame(_mk_rows([5, 7, 3]), TRANSCRIPT_SCHEMA))
+    fs = [f for f in t.files() if f["rows"]]
+    assert fs, "append produced no data files"
+    lo = min(f["stats"]["_lsn"][0] for f in fs)
+    hi = max(f["stats"]["_lsn"][1] for f in fs)
+    assert (lo, hi) == (3, 7)
+    for f in fs:
+        assert f["stats"]["conv_id"][0] == "c1" == f["stats"]["conv_id"][1]
+        assert set(f["stats"]) == {"conv_id", "turn_idx", "_lsn", "ts"}
+        assert f["stats"]["ts"][0].keys() == {"ts"}  # tagged datetime encoding
+
+
+def test_where_ranges_prunes_files_and_matches_plain_filter(spark, tmpdir_path):
+    """File skipping is observable (fewer scan inputs) and invisible
+    (result == unpruned read + filter), incl. open-ended bounds."""
+    t = make_table(spark, os.path.join(tmpdir_path, "stats2"), buckets=2)
+    for lsns in ([1, 2, 3], [100, 101], [200, 205]):
+        t.append(spark.createDataFrame(_mk_rows(lsns), TRANSCRIPT_SCHEMA))
+    full = t.read()
+    pruned = t.read(where_ranges={"_lsn": (100, 150)})
+    assert set(pruned.inputFiles()) < set(full.inputFiles())
+    expect = full.filter((F.col("_lsn") >= 100) & (F.col("_lsn") <= 150))
+    assert sorted(pruned.collect()) == sorted(expect.collect())
+    open_hi = t.read(where_ranges={"_lsn": (200, None)})
+    assert len(open_hi.inputFiles()) < len(full.inputFiles())
+    assert sorted(open_hi.collect()) == sorted(full.filter("_lsn >= 200").collect())
+    # timestamp range over the Spark-written TIMESTAMP_MICROS stats
+    import datetime
+
+    t2 = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "stats2b"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 2), key_cols=KEYS, stats_columns=["ts"],
+    )
+    for lsns in ([1, 2], [500, 600]):
+        t2.append(spark.createDataFrame(_mk_rows(lsns), TRANSCRIPT_SCHEMA))
+    cut = datetime.datetime(2024, 1, 10)
+    got = t2.read(where_ranges={"ts": (cut, None)})
+    assert len(got.inputFiles()) < len(t2.read().inputFiles())
+    assert sorted(got.collect()) == sorted(t2.read().filter(F.col("ts") >= F.lit(cut)).collect())
+
+
+def test_where_ranges_mor_fold_guard(spark, tmpdir_path):
+    """Key-column ranges prune a fold read soundly; payload/system
+    ranges on a fold read raise (they could drop a key's latest delta);
+    fold=False lifts the restriction."""
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "stats3"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4), key_cols=KEYS, merge_mode="mor",
+    )
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp")
+    merge_upsert(t, spark.createDataFrame(
+        [(1, "insert", "c1", 0, "u", "a", None, None),
+         (2, "insert", "c2", 0, "u", "b", None, None)], schema), KEYS)
+    merge_upsert(t, spark.createDataFrame(
+        [(3, "update", "c1", 0, "u", "a2", None, None)], schema), KEYS)
+    got = t.read(where_ranges={"conv_id": ("c1", "c1")})
+    assert [(r["conv_id"], r["text"]) for r in got.collect()] == [("c1", "a2")]
+    with pytest.raises(ValueError, match="non-merge-key"):
+        t.read(where_ranges={"_lsn": (2, None)})
+    # raw delta scan (no fold): any column goes
+    raw = t.read(fold=False, include_tombstones=True, where_ranges={"_lsn": (3, None)})
+    assert raw.count() == 1
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.read(where_ranges={"nope": (1, 2)})
+
+
+def test_file_in_ranges_unknown_bounds_keep():
+    """Unknown never prunes: legacy descriptors without stats, columns
+    without collected bounds, and half-open ranges all keep the file;
+    only a PROVEN-disjoint bound skips it."""
+    from odibel_spark.lake.table import _file_in_ranges
+
+    assert _file_in_ranges({"path": "p"}, {"x": (1, 2)})
+    assert _file_in_ranges({"stats": {"y": [0, 9]}}, {"x": (1, 2)})
+    assert _file_in_ranges({"stats": {"x": [0, 9]}}, {"x": (5, None)})
+    assert not _file_in_ranges({"stats": {"x": [0, 4]}}, {"x": (5, None)})
+    assert not _file_in_ranges({"stats": {"x": [6, 9]}}, {"x": (None, 5)})
+    assert _file_in_ranges({"stats": {"x": [5, 5]}}, {"x": (5, 5)})
+    with pytest.raises(ValueError, match="does not compare"):
+        _file_in_ranges({"stats": {"x": [0, 4]}}, {"x": ("a", None)})

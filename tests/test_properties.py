@@ -1767,3 +1767,82 @@ def test_contamination_matches_python_set_mirror(spark, corpus, bench, min_share
         ).collect()
     }
     assert got == expected
+
+
+# ---------------- P35: stats-pruned range read == naive filter
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["c0", "c1", "c2"]),
+                st.integers(min_value=0, max_value=3),
+                st.one_of(st.none(), st.integers(min_value=-5, max_value=40)),
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    lo=st.one_of(st.none(), st.integers(min_value=-6, max_value=41)),
+    hi=st.one_of(st.none(), st.integers(min_value=-6, max_value=41)),
+)
+def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi):
+    """``read(where_ranges=...)`` must be pure pruning: on ANY commit
+    layout (random batches → random per-file bounds, null values whose
+    rows no footer bound describes) and ANY half-open/closed/empty/
+    inverted range, the result equals a naive Python filter of the full
+    read — file skipping may only remove files the bounds PROVE empty
+    for the range. Nulls: a bounded range excludes them (SQL
+    comparison semantics); a fully open range is no filter at all and
+    keeps them."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake.merge import create_cdc_table
+    from odibel_spark.lake.table import BucketSpec
+
+    fields = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+    ]
+    schema = "conv_id string, turn_idx int, _lsn long, _deleted boolean"
+    root = tempfile.mkdtemp(prefix="odibel-prop-prune-")
+    try:
+        t = create_cdc_table(
+            spark, root, fields, BucketSpec("conv_id", 2),
+            key_cols=["conv_id", "turn_idx"],
+        )
+        all_rows = []
+        for i, b in enumerate(batches):
+            rows = [(c, ti, lsn, False) for (c, ti, lsn) in b]
+            all_rows += rows
+            t.append(spark.createDataFrame(rows, schema))
+
+        def keep(lsn):
+            if lo is not None and (lsn is None or lsn < lo):
+                return False
+            if hi is not None and (lsn is None or lsn > hi):
+                return False
+            return True
+
+        # a fully-open range keeps null-lsn rows, so the sort key must
+        # tolerate None alongside ints
+        key = lambda t3: (t3[0], t3[1], t3[2] is not None, t3[2] or 0)
+        expected = sorted(
+            ((c, ti, lsn) for (c, ti, lsn, _d) in all_rows if keep(lsn)), key=key
+        )
+        pruned = t.read(where_ranges={"_lsn": (lo, hi)})
+        got = sorted(
+            ((r["conv_id"], r["turn_idx"], r["_lsn"]) for r in pruned.collect()), key=key
+        )
+        assert got == expected
+        if all_rows:
+            assert set(pruned.inputFiles()) <= set(t.read().inputFiles())
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
