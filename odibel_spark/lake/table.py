@@ -275,6 +275,48 @@ class LakeTable:
         v = self.current_version() or 0
         return [self.manifest(i) for i in range(1, v + 1)]
 
+    def version_at(self, ts) -> int:
+        """Snapshot-as-of-timestamp resolution (Iceberg's ``FOR
+        TIMESTAMP AS OF``): the latest version whose ``committed_at_ms``
+        is <= ``ts``, for use as the ``version=`` argument of ``read``/
+        ``schema``/``files``. ``ts`` is a unix epoch in milliseconds, or
+        a datetime (naive = UTC, matching the session timezone).
+
+        Binary search over the manifest chain — O(log versions) JSON
+        reads, not a full history scan; commit timestamps are
+        single-writer wall clock, monotone for the same reason
+        Iceberg's are. Raises ``ValueError`` for a ts before the
+        table's creation: returning "empty table" there would silently
+        absorb a caller's unit mistake (seconds vs ms) as missing data.
+
+        Manifests are never vacuumed (only unreferenced DATA files
+        are), so resolution works across the full history; a read at
+        the resolved version can still fail if that snapshot's data
+        files were vacuumed — the same contract as ``read(version=)``.
+        """
+        import datetime
+
+        if isinstance(ts, datetime.datetime):
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=datetime.timezone.utc)
+            ts = int(ts.timestamp() * 1000)
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        if self.manifest(1)["committed_at_ms"] > ts:
+            raise ValueError(
+                f"ts {ts} predates the table's first commit "
+                f"({self.manifest(1)['committed_at_ms']} ms) — check the unit (ms, not s)"
+            )
+        lo, hi = 1, cur  # invariant: committed_at(lo) <= ts
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if self.manifest(mid)["committed_at_ms"] <= ts:
+                lo = mid
+            else:
+                hi = mid - 1
+        return lo
+
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest(version)["schema"]))
 

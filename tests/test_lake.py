@@ -465,3 +465,39 @@ def test_file_in_ranges_unknown_bounds_keep():
     assert _file_in_ranges({"stats": {"x": [5, 5]}}, {"x": (5, 5)})
     with pytest.raises(ValueError, match="does not compare"):
         _file_in_ranges({"stats": {"x": [0, 4]}}, {"x": ("a", None)})
+
+
+def test_version_at_timestamp_resolution(spark, tmpdir_path):
+    """Snapshot-as-of-timestamp: for every commit's own recorded
+    timestamp the resolved version IS that commit; between two commits
+    it is the earlier one; after the last it is the head; before the
+    first it raises (the seconds-vs-ms trap must not read as an empty
+    table). Deterministic: probes are the manifests' own committed_at_ms
+    values, no wall-clock assumptions."""
+    import datetime
+
+    t = make_table(spark, os.path.join(tmpdir_path, "vat"))
+    for lsns in ([1], [2], [3]):
+        t.append(spark.createDataFrame(_mk_rows(lsns), TRANSCRIPT_SCHEMA))
+    hist = t.history()  # versions 1..4 (create + 3 appends)
+    assert [m["version"] for m in hist] == [1, 2, 3, 4]
+    stamps = [m["committed_at_ms"] for m in hist]
+    assert stamps == sorted(stamps)
+    for m in hist:
+        assert t.version_at(m["committed_at_ms"]) == m["version"]
+    # strictly between two distinct stamps -> the earlier version
+    for a, b in zip(hist, hist[1:]):
+        if b["committed_at_ms"] > a["committed_at_ms"] + 1:
+            assert t.version_at(a["committed_at_ms"] + 1) == a["version"]
+    assert t.version_at(stamps[-1] + 10_000) == 4
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(stamps[0] - 1)
+    with pytest.raises(ValueError, match="predates"):
+        t.version_at(stamps[0] // 1000)  # the seconds-vs-ms mistake
+    # datetime form resolves identically and composes with read()
+    dt = datetime.datetime.fromtimestamp(
+        stamps[1] / 1000, tz=datetime.timezone.utc
+    )
+    v = t.version_at(dt)
+    assert v == 2
+    assert t.read(version=v).count() == 1  # first append only

@@ -1846,3 +1846,63 @@ def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi):
             assert set(pruned.inputFiles()) <= set(t.read().inputFiles())
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------- P36: MoR key-range-pruned fold read == filtered oracle
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    data=events_strategy,
+    cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=2, unique=True),
+    lo=st.one_of(st.none(), st.sampled_from(["c0", "c1", "c2"])),
+    hi=st.one_of(st.none(), st.sampled_from(["c0", "c1", "c2"])),
+)
+def test_mor_key_range_pruned_fold_equals_filtered_oracle(spark, data, cuts, lo, hi):
+    """The claim behind the merge-on-read fold guard: pruning a FOLD
+    read by a merge-KEY range is sound on any delta layout, because
+    every version of a key carries the key's values — no file holding
+    a key's latest delta can be skipped while an older one survives.
+    Property: random event soup merged as raw MoR deltas at random
+    batch boundaries, then ``read(where_ranges={conv_id: (lo, hi)})``
+    == the Python LWW oracle filtered to that range, for closed /
+    half-open / empty / inverted ranges. A payload-column range on the
+    same fold read must raise."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.cdc.replay import split_dead_letters
+    from odibel_spark.lake.merge import create_cdc_table, merge_upsert
+    from odibel_spark.lake.table import BucketSpec
+
+    rows = _event_rows(data)
+    bounds = sorted(set(cuts) | {len(rows)})
+    batches, at = [], 0
+    for b in bounds:
+        batches.append(rows[at : min(b, len(rows))])
+        at = min(b, len(rows))
+    batches = [b for b in batches if b]
+    root = tempfile.mkdtemp(prefix="odibel-prop-morrange-")
+    try:
+        t = create_cdc_table(
+            spark, root, _cdc_fields(), BucketSpec("conv_id", 4),
+            key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+        )
+        for b in batches:
+            ok, _dead = split_dead_letters(spark.createDataFrame(b, EVENT_SCHEMA))
+            merge_upsert(t, ok, ["conv_id", "turn_idx"], fold=False)
+
+        def keep(conv):
+            return (lo is None or conv >= lo) and (hi is None or conv <= hi)
+
+        expected = {e for e in _lww_oracle(rows) if keep(e[0])}
+        got = {
+            (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+            for r in t.read(where_ranges={"conv_id": (lo, hi)}).collect()
+        }
+        assert got == expected
+        if batches:
+            with pytest.raises(ValueError, match="non-merge-key"):
+                t.read(where_ranges={"text": (lo, hi)})
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
