@@ -331,3 +331,28 @@ def test_text_profile_materializes_tokens_once(spark, sf_dir):
         X.document_fingerprint(SF.col("text")).alias("fp"),
     )
     assert prof.exceptAll(naive).count() == 0 and naive.exceptAll(prof).count() == 0
+
+
+def test_lake_range_read_pushes_residual_filter_to_scan(spark, tmp_path):
+    """read(where_ranges=) is two-layer pruning: the manifest layer
+    skips whole files (pinned in test_lake), and the residual row
+    filter must reach the parquet scan as PushedFilters so the
+    surviving files' row groups prune too — file-granular bounds keep
+    out-of-range rows in every kept file, and a post-scan Filter alone
+    would read them all at 100 TB."""
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake import BucketSpec, create_cdc_table
+
+    t = create_cdc_table(
+        spark, str(tmp_path / "lrp"),
+        [T.StructField("conv_id", T.StringType(), False),
+         T.StructField("turn_idx", T.IntegerType(), False)],
+        BucketSpec("conv_id", 2), key_cols=["conv_id", "turn_idx"],
+    )
+    schema = "conv_id string, turn_idx int, _lsn long, _deleted boolean"
+    for lsns in ([1, 2], [50, 60]):
+        t.append(spark.createDataFrame(
+            [("c", i, l, False) for i, l in enumerate(lsns)], schema))
+    p = plan(t.read(where_ranges={"_lsn": (40, None)}))
+    assert "PushedFilters: [IsNotNull(_lsn), GreaterThanOrEqual(_lsn,40)" in p
