@@ -82,31 +82,39 @@ class BucketSpec:
 
 
 def _stats_encode(v):
-    """Footer min/max value → JSON-safe manifest form. Datetimes keep
-    their type through a tagged dict (plain ISO strings would compare
-    as strings on decode); binary bounds are dropped — bytes have no
-    pruning-relevant order for this engine's columns."""
+    """Footer min/max value → JSON-safe manifest form. Datetimes and
+    decimals keep their type through a tagged dict (plain strings
+    would compare as strings on decode). Type WHITELIST, not
+    passthrough: pyarrow statistics can surface as bytes, time,
+    Decimal or future types — anything unhandled returns None, which
+    omits the column's bounds (= unknown, never pruned) instead of
+    letting ``json.dump`` crash the COMMIT on an unserializable
+    value."""
     import datetime
+    import decimal
 
-    if v is None or isinstance(v, bool):
+    if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, datetime.datetime):
         return {"ts": v.isoformat()}
     if isinstance(v, datetime.date):
         return {"d": v.isoformat()}
-    if isinstance(v, bytes):
-        return None
-    return v  # int / float / str — JSON-native
+    if isinstance(v, decimal.Decimal):
+        return {"dec": str(v)}
+    return None  # bytes / time / unknown — no usable order here
 
 
 def _stats_decode(v):
     import datetime
+    import decimal
 
     if isinstance(v, dict):
         if "ts" in v:
             return datetime.datetime.fromisoformat(v["ts"])
         if "d" in v:
             return datetime.date.fromisoformat(v["d"])
+        if "dec" in v:
+            return decimal.Decimal(v["dec"])
     return v
 
 
@@ -149,11 +157,21 @@ def _file_meta(path: str, stats_cols: tuple[str, ...] = ()) -> tuple[int, dict]:
         usable = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(i).statistics
-            if st is None or not st.has_min_max:
+            # pyarrow RAISES (not returns None) for stat types it
+            # cannot cast — e.g. ArrowNotImplementedError on decimal
+            # columns. A stats column must never crash the COMMIT, so
+            # any extraction failure degrades to "no bounds recorded"
+            # (= unknown, never pruned), same as absent statistics.
+            try:
+                if st is None or not st.has_min_max:
+                    usable = False
+                    break
+                mn, mx = st.min, st.max
+            except Exception:
                 usable = False
                 break
-            lo = st.min if lo is None or st.min < lo else lo
-            hi = st.max if hi is None or st.max > hi else hi
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
         lo, hi = _stats_encode(lo), _stats_encode(hi)
         if usable and lo is not None and hi is not None:
             stats[c] = [lo, hi]

@@ -501,3 +501,47 @@ def test_version_at_timestamp_resolution(spark, tmpdir_path):
     v = t.version_at(dt)
     assert v == 2
     assert t.read(version=v).count() == 1  # first append only
+
+
+def test_stats_never_crash_commit_on_unextractable_types(spark, tmpdir_path):
+    """A stats column whose footer statistics pyarrow cannot extract
+    (it RAISES ArrowNotImplementedError on decimal columns, it does
+    not return None) must degrade to "no bounds recorded" — the COMMIT
+    succeeds, the column is simply never pruned, and the range read
+    falls back to the pure residual filter. Found by construction:
+    without the guard a decimal stats column took the whole ingest
+    down for a metadata nicety."""
+    import decimal
+
+    from odibel_spark.lake.table import _stats_encode
+
+    t = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "dec"),
+        T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("amount", T.DecimalType(10, 2), True),
+        ]),
+        BucketSpec("k", 2),
+        properties={"stats_columns": ["amount", "k"]},
+    )
+    schema = "k string, amount decimal(10,2)"
+    t.append(spark.createDataFrame(
+        [("a", decimal.Decimal("1.25")), ("b", decimal.Decimal("7.50"))], schema))
+    t.append(spark.createDataFrame([("c", decimal.Decimal("900.00"))], schema))
+    fs = [f for f in t.files() if f["rows"]]
+    assert fs, "appends must commit despite the unextractable stats column"
+    # decimal bounds omitted; the extractable sibling column still records
+    assert all("amount" not in (f.get("stats") or {}) for f in fs)
+    assert all("k" in (f.get("stats") or {}) for f in fs)
+    # no bounds -> no skipping, but the residual filter still applies
+    pruned = t.read(where_ranges={"amount": (decimal.Decimal("100"), None)})
+    assert len(pruned.inputFiles()) == len(t.read().inputFiles())
+    assert [str(r["amount"]) for r in pruned.collect()] == ["900.00"]
+    # the manifest encode layer is a whitelist, not a passthrough:
+    # unknown types degrade to omitted bounds, never a json.dump crash
+    import datetime
+
+    assert _stats_encode(b"\x00") is None
+    assert _stats_encode(datetime.time(12, 0)) is None
+    assert _stats_encode(object()) is None
+    assert _stats_encode(decimal.Decimal("1.5")) == {"dec": "1.5"}
