@@ -47,6 +47,7 @@ the same primitive).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import time
@@ -168,6 +169,17 @@ def _file_meta(path: str, stats_cols: tuple[str, ...] = ()) -> tuple[int, dict]:
                     break
                 mn, mx = st.min, st.max
             except Exception:
+                usable = False
+                break
+            # NaN poisons bound folding silently: Spark's writer
+            # records max=NaN for a NaN-bearing row group, but
+            # `NaN > finite` is False here, so a later group's NaN
+            # would fold AWAY to a finite max — and Spark's filter
+            # semantics order NaN ABOVE every bound, so a lower-bound
+            # range could then prune a file whose NaN rows the
+            # residual filter keeps. Any NaN bound ⇒ no bounds
+            # recorded for the file (kept forever — sound).
+            if isinstance(mn, float) and (math.isnan(mn) or math.isnan(mx)):
                 usable = False
                 break
             lo = mn if lo is None or mn < lo else lo

@@ -545,3 +545,80 @@ def test_stats_never_crash_commit_on_unextractable_types(spark, tmpdir_path):
     assert _stats_encode(datetime.time(12, 0)) is None
     assert _stats_encode(object()) is None
     assert _stats_encode(decimal.Decimal("1.5")) == {"dec": "1.5"}
+
+
+def test_nan_stats_never_fold_to_a_finite_bound(spark, tmpdir_path):
+    """Spark's parquet writer records max=NaN for a NaN-bearing row
+    group, and Python's `NaN > finite` is False — so a naive min/max
+    fold across row groups silently REPLACES the NaN with a later
+    group's finite max. Spark's filter semantics order NaN ABOVE every
+    value (`NaN >= 1000.0` is true), so that finite manifest bound
+    would let a lower-bound range read prune the very file whose NaN
+    rows the equivalent plain filter keeps. The guard: any NaN bound
+    in any row group ⇒ NO bounds recorded for that column (kept
+    forever — sound), while NaN-free sibling columns still record."""
+    import glob
+    import math
+
+    import pyarrow.parquet as pq
+
+    from odibel_spark.lake.table import _file_in_ranges, _file_meta
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block, old_page = hconf.get("parquet.block.size"), hconf.get("parquet.page.size")
+    hconf.set("parquet.block.size", "1024")
+    hconf.set("parquet.page.size", "512")
+    try:
+        t = LakeTable.create(
+            spark, os.path.join(tmpdir_path, "nan"),
+            T.StructType([
+                T.StructField("k", T.StringType(), False),
+                T.StructField("score", T.DoubleType(), True),
+            ]),
+            BucketSpec("k", 1),
+            properties={"stats_columns": ["score", "k"]},
+        )
+        # NaN mid-file with finite rows AFTER it: the later groups'
+        # finite maxes are what a naive fold would keep.
+        rows = (
+            [(f"k{i:04d}", float(i)) for i in range(500)]
+            + [("knan", float("nan"))]
+            + [(f"k{i:04d}", float(i)) for i in range(500, 900)]
+        )
+        t.append(spark.createDataFrame(rows, "k string, score double").coalesce(1))
+    finally:
+        for key, old in (("parquet.block.size", old_block), ("parquet.page.size", old_page)):
+            hconf.set(key, old) if old is not None else hconf.unset(key)
+
+    fs = [f for f in t.files() if f["rows"]]
+    assert len(fs) == 1
+    path = os.path.join(t.root, fs[0]["path"])
+    # the scenario is real only if the file actually has the poisoned
+    # shape: several row groups, a NaN max in a NON-final group
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups >= 3
+    score_i = next(
+        i for i in range(md.num_columns) if md.schema.column(i).path == "score"
+    )
+    maxes = [md.row_group(rg).column(score_i).statistics.max for rg in range(md.num_row_groups)]
+    nan_at = [i for i, m in enumerate(maxes) if math.isnan(m)]
+    assert nan_at and nan_at[-1] < md.num_row_groups - 1, maxes
+    # counterfactual: the naive fold yields a FINITE max below the
+    # probe bound — i.e. without the guard this file would be pruned
+    naive_hi = None
+    for m in maxes:
+        if naive_hi is None or m > naive_hi:
+            naive_hi = m
+    assert not math.isnan(naive_hi) and naive_hi < 1000.0
+    assert not _file_in_ranges({"stats": {"score": [0.0, naive_hi]}}, {"score": (1000.0, None)})
+    # the guard: score bounds omitted, NaN-free sibling still recorded
+    _, stats = _file_meta(path, ("score", "k"))
+    assert "score" not in stats and "k" in stats
+    assert "score" not in (fs[0].get("stats") or {})
+    # end to end: range read == plain filter, NaN row included
+    pruned = t.read(where_ranges={"score": (1000.0, None)})
+    plain = t.read().filter(F.col("score") >= F.lit(1000.0))
+    assert len(pruned.inputFiles()) == 1  # kept, not pruned
+    got, want = pruned.collect(), plain.collect()
+    assert [r["k"] for r in got] == [r["k"] for r in want] == ["knan"]
+    assert math.isnan(got[0]["score"])
