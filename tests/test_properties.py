@@ -1906,3 +1906,137 @@ def test_mor_key_range_pruned_fold_equals_filtered_oracle(spark, data, cuts, lo,
                 t.read(where_ranges={"text": (lo, hi)})
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ----- P37: double-range reads under NaN / inf / null parquet statistics
+
+
+_DVALS = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            float("nan"),
+            float("inf"),
+            float("-inf"),
+            -3.5,
+            0.0,
+            1.0,
+            2.25,
+            7.0,
+            40.0,
+            1e300,
+        ]
+    ),
+)
+_DBOUND = st.one_of(
+    st.none(),
+    st.sampled_from([float("-inf"), -4.0, 0.0, 1.0, 5.0, 40.0, float("inf")]),
+)
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 8})
+@given(
+    batches=st.lists(
+        st.lists(_DVALS, min_size=0, max_size=24), min_size=1, max_size=3
+    ),
+    lo=_DBOUND,
+    hi=_DBOUND,
+)
+def test_double_range_read_matches_spark_nan_order(spark, batches, lo, hi):
+    """Range reads over a DOUBLE stats column on ANY commit layout must
+    equal a naive filter under Spark's total order (NaN above +inf,
+    nulls excluded by any bounded range, kept by the fully open one) —
+    with parquet knobs forcing MULTI row-group files so NaN-poisoned
+    footer statistics (a NaN-bearing group's max=NaN, later groups
+    finite) hit the manifest fold: the exact shape where a naive
+    min/max fold records a finite lying bound and pruning drops rows
+    the residual filter keeps. This property (re)catches the NaN
+    fold-away bug on shapes nobody designed."""
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake.table import BucketSpec, LakeTable
+
+    def rank(v):  # Spark double total order; bounds are never NaN
+        return (2, 0.0) if math.isnan(v) else (1, v)
+
+    def keep(v, lo, hi):
+        if lo is None and hi is None:
+            return True
+        if v is None:
+            return False
+        if lo is not None and rank(v) < rank(lo):
+            return False
+        if hi is not None and rank(v) > rank(hi):
+            return False
+        return True
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    knobs = {
+        "parquet.block.size": "64",
+        "parquet.page.size": "64",
+        "parquet.page.size.row.check.min": "1",
+        "parquet.page.size.row.check.max": "1",
+    }
+    saved = {k: hconf.get(k) for k in knobs}
+    for k, v in knobs.items():
+        hconf.set(k, v)
+    root = tempfile.mkdtemp(prefix="odibel-prop-nan-")
+    try:
+        t = LakeTable.create(
+            spark,
+            root,
+            T.StructType(
+                [
+                    T.StructField("rid", T.StringType(), False),
+                    T.StructField("score", T.DoubleType(), True),
+                ]
+            ),
+            BucketSpec("rid", 1),  # one file per append: in-file row
+            # order == input order, so the poisoned tail below lands
+            # its NaN in a non-first row group deterministically
+            properties={"stats_columns": ["score"]},
+        )
+        rows, n = [], 0
+        # every example ends with a designed poisoned batch — NaN in a
+        # MIDDLE row group (~7 rows/group under the knobs), finite
+        # groups after it — so the fold-away shape exists in every
+        # layout; the random batches explore everything else
+        tail = [1.0] * 8 + [float("nan")] + [2.0] * 8
+        for b in list(batches) + [tail]:
+            batch = [(f"r{n + i:03d}", v) for i, v in enumerate(b)]
+            n += len(b)
+            rows += batch
+            t.append(
+                spark.createDataFrame(batch, "rid string, score double").coalesce(1)
+            )
+        def check(lo, hi):
+            expected = {
+                (rid, None if v is None else rank(v))
+                for rid, v in rows
+                if keep(v, lo, hi)
+            }
+            pruned = t.read(where_ranges={"score": (lo, hi)})
+            got = {
+                (r["rid"], None if r["score"] is None else rank(r["score"]))
+                for r in pruned.collect()
+            }
+            assert got == expected, (lo, hi)
+            if rows:
+                assert set(pruned.inputFiles()) <= set(t.read().inputFiles())
+
+        check(lo, hi)
+        # deterministic probe maximally sensitive to the NaN fold-away:
+        # score >= +inf keeps exactly the NaN and +inf rows, and any
+        # file whose NaN folded away to a finite max gets pruned —
+        # losing its NaN rows. Mutation-verified: disabling the
+        # _file_meta NaN guard fails THIS probe on most examples,
+        # while the drawn (lo, hi) alone rarely hits the shape.
+        check(float("inf"), None)
+    finally:
+        for k, v in saved.items():
+            hconf.set(k, v) if v is not None else hconf.unset(k)
+        shutil.rmtree(root, ignore_errors=True)
