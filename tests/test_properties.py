@@ -2040,3 +2040,65 @@ def test_double_range_read_matches_spark_nan_order(spark, batches, lo, hi):
         for k, v in saved.items():
             hconf.set(k, v) if v is not None else hconf.unset(k)
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------ P38: version_at binary search vs linear scan, duplicate stamps
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 60})
+@given(
+    deltas=st.lists(
+        # heavy on zero so same-millisecond commit runs (the classic
+        # binary-search trap: the predicate plateaus) appear constantly
+        st.sampled_from([0, 0, 0, 1, 2, 50]),
+        min_size=0,
+        max_size=11,
+    ),
+    probes=st.lists(st.integers(min_value=-3, max_value=600), max_size=4),
+)
+def test_version_at_matches_linear_scan_with_duplicate_stamps(deltas, probes):
+    """``version_at``'s O(log n) manifest binary search must equal a
+    naive linear scan ("latest version with committed_at_ms <= ts") on
+    ANY monotone stamp chain — in particular chains where several
+    commits share one millisecond (single-writer commits are fast
+    enough for this to happen in practice; the designed fixture test
+    only covers strictly increasing stamps). Duplicates plateau the
+    search predicate, the shape where an off-by-one in the midpoint
+    rounding silently resolves to the FIRST commit of a run instead of
+    the last. Pure-filesystem: manifests are synthesized with chosen
+    stamps, no Spark session touched (version_at never uses one)."""
+    import json as _json
+    import tempfile
+
+    from odibel_spark.lake.table import LakeTable
+
+    base = 100
+    stamps = [base]
+    for d in deltas:
+        stamps.append(stamps[-1] + d)
+
+    with tempfile.TemporaryDirectory(prefix="p38-vat-") as root:
+        t = LakeTable(None, root)
+        import os as _os
+
+        _os.makedirs(t.meta_dir)
+        for i, s in enumerate(stamps, start=1):
+            with open(t._manifest_path(i), "w") as f:
+                _json.dump({"version": i, "committed_at_ms": s}, f)
+
+        def oracle(ts):
+            winners = [i for i, s in enumerate(stamps, start=1) if s <= ts]
+            return max(winners) if winners else None
+
+        # probe every stamp, its neighbors, the drawn arbitrary points,
+        # and far past the head — exhaustive around every plateau edge
+        points = set(probes) | {stamps[-1] + 10_000}
+        for s in stamps:
+            points |= {s - 1, s, s + 1}
+        for ts in sorted(points):
+            want = oracle(ts)
+            if want is None:
+                with pytest.raises(ValueError, match="predates"):
+                    t.version_at(ts)
+            else:
+                assert t.version_at(ts) == want, (ts, stamps)
