@@ -2102,3 +2102,99 @@ def test_version_at_matches_linear_scan_with_duplicate_stamps(deltas, probes):
                     t.version_at(ts)
             else:
                 assert t.version_at(ts) == want, (ts, stamps)
+
+
+# --------- P39: vacuum never touches the retained versions' data
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "overwrite"]),
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["c0", "c1", "c2"]),
+                    st.integers(min_value=0, max_value=3),
+                ),
+                min_size=0,
+                max_size=3,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    keep=st.integers(min_value=1, max_value=3),
+)
+def test_vacuum_preserves_all_retained_version_reads(spark, ops, keep):
+    """``vacuum(keep_versions=k)`` is the one operation that DELETES
+    data, so its safety invariant gets a property, not just the two
+    designed tests: on ANY random append/overwrite churn (overwrites
+    are the file-unreferencing workload vacuum exists for) and ANY
+    retention k, (a) no removed file is referenced by any of the last
+    k manifests, (b) every retained version's read is byte-identical
+    before and after vacuum, (c) every retained manifest's files
+    still exist on disk, and (d) files referenced ONLY by versions
+    older than the window really are deleted (a vacuum that removes
+    nothing is trivially "safe" and useless). grace_seconds=0 so
+    nothing hides behind the freshness guard — the manifest reference
+    set alone must protect live data.
+
+    Every example ends with a designed non-empty append followed by an
+    overwrite: the one shape where version cur−1 references files that
+    cur does not, so a vacuum that wrongly computes liveness from the
+    head manifest alone (ignoring keep_versions) deletes a retained
+    version's data. Mutation-verified: that exact mutant survives the
+    random draws alone but fails with the designed tail."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake.table import BucketSpec, LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="odibel-prop-vac-")
+    try:
+        t = LakeTable.create(spark, root, schema, BucketSpec("conv_id", 2))
+        for kind, rows in ops:
+            df = spark.createDataFrame(rows, schema)
+            (t.append if kind == "append" else t.overwrite)(df)
+        # designed tail: cur−1 references files cur does not
+        t.append(spark.createDataFrame([("cX", 9), ("cY", 9)], schema))
+        t.overwrite(spark.createDataFrame([("cZ", 8)], schema))
+
+        cur = t.current_version()
+        retained = list(range(max(1, cur - keep + 1), cur + 1))
+        before = {
+            v: sorted(map(tuple, t.read(version=v).collect())) for v in retained
+        }
+        live = {
+            f["path"] for v in retained for f in t.manifest(v)["files"]
+        }
+
+        dead = {
+            f["path"]
+            for v in range(1, retained[0])
+            for f in t.manifest(v)["files"]
+        } - live
+
+        removed = t.vacuum(keep_versions=keep, grace_seconds=0)
+
+        assert not (set(removed) & live), (removed, sorted(live))
+        for rel in live:
+            assert _os.path.exists(_os.path.join(root, rel)), rel
+        assert dead <= set(removed), (sorted(dead), removed)
+        for rel in dead:
+            assert not _os.path.exists(_os.path.join(root, rel)), rel
+        for v in retained:
+            after = sorted(map(tuple, t.read(version=v).collect()))
+            assert after == before[v], (v, keep)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
