@@ -517,6 +517,19 @@ class LakeTable:
         for v in range(since_version + 1, until + 1):
             man = self.manifest(v)
             op = man.get("summary", {}).get("op", "")
+            if op == "rollback":
+                # a rollback REMOVES state: emitting its re-referenced
+                # files as change rows would miss the implied deletes
+                # of everything committed after the target, silently
+                # corrupting a consumer's replica. Same contract as
+                # Iceberg incremental scans (append-style snapshots
+                # only) — the consumer re-syncs from a snapshot read.
+                raise ValueError(
+                    f"changelog range ({since_version}, {until}] crosses a "
+                    f"rollback commit (v{v} rolled back to "
+                    f"v{man['summary'].get('rollback_of')}); incremental "
+                    "consumers must re-sync from a snapshot read"
+                )
             if op in ("compact", "compact-tombstones"):
                 continue  # physical rewrite, logical no-op
             prev = (
@@ -839,6 +852,76 @@ class LakeTable:
 
         return self._next_commit(
             new, keep_fn, self._tagged(summary, op), watermarks_update, schema=schema
+        )
+
+    def rollback(
+        self,
+        version: int,
+        summary: dict | None = None,
+        restore_watermarks: bool = False,
+    ) -> dict:
+        """Roll the table back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot``): commits a NEW head whose logical
+        state — file list and schema — is exactly that of ``version``.
+        History stays append-only: the rolled-back commits remain
+        time-travelable, the target's data files become live again for
+        ``vacuum`` (retention counts manifests back from the head), and
+        the bad commits' delta files expire through normal retention.
+
+        The target snapshot's data files must still exist: a rollback
+        past the vacuum retention window raises ``FileNotFoundError``
+        naming a missing file instead of committing a head that cannot
+        be read. Like Iceberg's, a rollback racing a concurrent writer
+        wins — it resets state by definition, so the keep-fn ignores
+        files the fresh head added (callers coordinate maintenance
+        windows for that reason).
+
+        Stream fences: ``restore_watermarks=False`` (default) keeps the
+        current per-stream epoch watermarks — an exactly-once pipeline
+        resumes where it was and the rolled-back epochs are simply gone
+        from the table (reset posture: the feed rows themselves were
+        bad). ``restore_watermarks=True`` also restores the target's
+        fences (streams unknown at the target revert to −1 = never
+        applied), so a restarted pipeline REPLAYS every epoch after the
+        target (reprocess posture: the feed was fixed in place).
+
+        Incremental consumers: ``changes()`` refuses ranges that cross
+        a rollback commit — re-sync from a snapshot read (Iceberg's
+        incremental scans likewise support only append-style
+        snapshots).
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"no table at {self.root}")
+        if not (1 <= version < cur):
+            raise ValueError(
+                f"rollback target must satisfy 1 <= version < current ({cur}); got {version}"
+            )
+        target = self.manifest(version)
+        missing = [
+            f["path"]
+            for f in target["files"]
+            if not os.path.exists(os.path.join(self.root, f["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"rollback to v{version} needs {len(missing)} vacuumed data "
+                f"file(s), e.g. {missing[0]} — the target is outside the "
+                "retention window"
+            )
+        wm_update = None
+        if restore_watermarks:
+            tgt_wm = target.get("watermarks", {})
+            cur_wm = self.manifest().get("watermarks", {})
+            wm_update = {k: tgt_wm.get(k, -1) for k in set(cur_wm) | set(tgt_wm)}
+        return self._next_commit(
+            [],
+            lambda _fresh: list(target["files"]),
+            self._tagged(
+                {**(summary or {}), "rollback_of": version}, "rollback"
+            ),
+            watermarks_update=wm_update,
+            schema=T.StructType.fromJson(json.loads(target["schema"])),
         )
 
     # ------------------------------------------------------ maintenance

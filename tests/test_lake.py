@@ -503,6 +503,85 @@ def test_version_at_timestamp_resolution(spark, tmpdir_path):
     assert t.read(version=v).count() == 1  # first append only
 
 
+def test_rollback_restores_state_schema_and_vacuum_liveness(spark, tmpdir_path):
+    """rollback(v) commits a NEW head equal to snapshot v: data and
+    schema restored (undoes schema evolution), history append-only
+    (the bad commits stay time-travelable), stream fences kept by
+    default / restored on request, and vacuum treats the target's
+    files as live again while the rolled-back commits' files expire
+    through normal retention."""
+    t = make_table(spark, os.path.join(tmpdir_path, "rb"))
+    t.append(spark.createDataFrame(_mk_rows([1, 2]), TRANSCRIPT_SCHEMA))  # v2: good
+    good = sorted(map(tuple, t.read().collect()))
+    t.commit_metadata({"note": "fence"}, watermarks_update={"s1": 7})  # v3
+    t.append(spark.createDataFrame(_mk_rows([9], conv="bad"), TRANSCRIPT_SCHEMA))  # v4: bad batch
+    t.add_columns([T.StructField("extra", T.StringType(), True)])  # v5: bad evolution
+    assert t.current_version() == 5
+
+    man = t.rollback(2)
+    assert man["version"] == 6 and man["summary"]["op"] == "rollback"
+    assert man["summary"]["rollback_of"] == 2
+    assert sorted(map(tuple, t.read().collect())) == good
+    assert "extra" not in t.schema().fieldNames()
+    # history append-only: the bad commits remain time-travelable
+    assert t.read(version=4).filter(F.col("conv_id") == "bad").count() == 1
+    # default keeps the CURRENT stream fences (reset posture)
+    assert t.watermark("s1") == 7
+    # reprocess posture: fences revert to the target's (unknown → -1)
+    t.rollback(2, restore_watermarks=True)
+    assert t.watermark("s1") == -1
+
+    # vacuum liveness flips with the head: the target's files are live
+    # again, the bad batch's file is unreferenced by the retained heads
+    removed = t.vacuum(keep_versions=2, grace_seconds=0)
+    assert sorted(map(tuple, t.read().collect())) == good
+    assert removed, "the rolled-back batch's file must expire"
+    # the bad snapshot's data really is gone from disk
+    assert any(
+        not os.path.exists(os.path.join(t.root, f["path"]))
+        for f in t.files(version=4)
+    )
+
+    # a rollback whose target was vacuumed away refuses to commit an
+    # unreadable head
+    t.overwrite(spark.createDataFrame(_mk_rows([3]), t.schema()))
+    t.vacuum(keep_versions=1, grace_seconds=0)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        t.rollback(2)
+    with pytest.raises(ValueError, match="rollback target"):
+        t.rollback(t.current_version())
+    with pytest.raises(ValueError, match="rollback target"):
+        t.rollback(0)
+
+
+def test_changes_refuses_ranges_crossing_a_rollback(spark, tmpdir_path):
+    """Incremental consumers must re-sync after a rollback: emitting
+    the re-referenced files as change rows would miss the implied
+    deletes of everything after the target. Ranges that stop before
+    the rollback stay readable."""
+    t = create_cdc_table(
+        spark,
+        os.path.join(tmpdir_path, "rbmor"),
+        TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 4),
+        key_cols=KEYS,
+        merge_mode="mor",
+    )
+    t.append(spark.createDataFrame(_mk_rows([1]), TRANSCRIPT_SCHEMA))  # v2
+    t.append(spark.createDataFrame(_mk_rows([2], conv="bad"), TRANSCRIPT_SCHEMA))  # v3
+    t.rollback(2)  # v4
+    assert t.changes(0, until_version=3).count() == 2  # pre-rollback OK
+    with pytest.raises(ValueError, match="rollback"):
+        t.changes(0)
+    with pytest.raises(ValueError, match="re-sync"):
+        t.changes(3)
+    # post-rollback commits resume a clean changelog
+    t.append(spark.createDataFrame(_mk_rows([5], conv="c9"), TRANSCRIPT_SCHEMA))  # v5
+    assert t.changes(4).count() == 1
+    # folded read after rollback: only the good row survives
+    assert t.read(version=4).filter(F.col("conv_id") == "bad").count() == 0
+
+
 def test_stats_never_crash_commit_on_unextractable_types(spark, tmpdir_path):
     """A stats column whose footer statistics pyarrow cannot extract
     (it RAISES ArrowNotImplementedError on decimal columns, it does
