@@ -2111,7 +2111,7 @@ def test_version_at_matches_linear_scan_with_duplicate_stamps(deltas, probes):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["append", "overwrite"]),
+            st.sampled_from(["append", "overwrite", "rollback"]),
             st.lists(
                 st.tuples(
                     st.sampled_from(["c0", "c1", "c2"]),
@@ -2129,8 +2129,10 @@ def test_version_at_matches_linear_scan_with_duplicate_stamps(deltas, probes):
 def test_vacuum_preserves_all_retained_version_reads(spark, ops, keep):
     """``vacuum(keep_versions=k)`` is the one operation that DELETES
     data, so its safety invariant gets a property, not just the two
-    designed tests: on ANY random append/overwrite churn (overwrites
-    are the file-unreferencing workload vacuum exists for) and ANY
+    designed tests: on ANY random append/overwrite/rollback churn
+    (overwrites are the file-unreferencing workload vacuum exists for;
+    rollback heads re-reference OLD paths, which must count as live
+    again) and ANY
     retention k, (a) no removed file is referenced by any of the last
     k manifests, (b) every retained version's read is byte-identical
     before and after vacuum, (c) every retained manifest's files
@@ -2164,6 +2166,14 @@ def test_vacuum_preserves_all_retained_version_reads(spark, ops, keep):
     try:
         t = LakeTable.create(spark, root, schema, BucketSpec("conv_id", 2))
         for kind, rows in ops:
+            if kind == "rollback":
+                # roll back to the middle of the history when possible
+                # (rollback heads re-reference OLD paths, the liveness
+                # shape vacuum must honor); a too-short chain skips
+                cur = t.current_version()
+                if cur >= 2:
+                    t.rollback(max(1, cur // 2))
+                continue
             df = spark.createDataFrame(rows, schema)
             (t.append if kind == "append" else t.overwrite)(df)
         # designed tail: cur−1 references files cur does not
