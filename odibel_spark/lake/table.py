@@ -877,13 +877,23 @@ class LakeTable:
         windows for that reason).
 
         Stream fences: ``restore_watermarks=False`` (default) keeps the
-        current per-stream epoch watermarks — an exactly-once pipeline
-        resumes where it was and the rolled-back epochs are simply gone
-        from the table (reset posture: the feed rows themselves were
-        bad). ``restore_watermarks=True`` also restores the target's
-        fences (streams unknown at the target revert to −1 = never
-        applied), so a restarted pipeline REPLAYS every epoch after the
-        target (reprocess posture: the feed was fixed in place).
+        current per-stream epoch watermarks — correct whenever the
+        stream resumes from its EXISTING checkpoint: Spark's source
+        does not re-deliver consumed input, epoch numbering continues,
+        and the rolled-back epochs are simply gone from the table
+        (reset posture: the feed rows themselves were bad).
+        ``restore_watermarks=True`` restores the target's fences
+        (streams unknown at the target revert to −1 = never applied) —
+        for the narrow case where the stream's CHECKPOINT was also
+        restored to a matching older copy, keeping fence and epoch
+        numbering in sync. It does NOT by itself make a pipeline
+        replay anything: with the old checkpoint the source never
+        re-emits the consumed files, and with a FRESH checkpoint epoch
+        numbering restarts at 0, which a restored fence would wrongly
+        skip. To reprocess a fixed feed, roll back and restart with a
+        fresh checkpoint AND a fresh ``stream_id`` (fence −1): the
+        full-feed replay is idempotent — LSN fencing folds re-applied
+        events to the same final state.
 
         Incremental consumers: ``changes()`` refuses ranges that cross
         a rollback commit — re-sync from a snapshot read (Iceberg's
