@@ -2208,3 +2208,101 @@ def test_vacuum_preserves_all_retained_version_reads(spark, ops, keep):
             assert after == before[v], (v, keep)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------ P40: changelog prefix folds == Python LWW oracle at EVERY version
+
+
+@settings(**{**PROP_SETTINGS, "max_examples": 6})
+@given(
+    data=events_strategy,
+    cuts=st.lists(st.integers(min_value=0, max_value=24), max_size=2, unique=True),
+    compact_after=st.integers(min_value=0, max_value=3),
+)
+def test_changelog_prefix_folds_match_lww_oracle_at_every_version(
+    spark, data, cuts, compact_after
+):
+    """``changes(0, v)`` folded by LSN must replay to the Python LWW
+    oracle of the event prefix that produced version v — for EVERY
+    intermediate version, not just the head (the designed replication
+    test checks the final state only). Random event soup, random batch
+    boundaries, and a compaction inserted mid-chain: compaction
+    commits must stay changelog-invisible at every prefix that spans
+    them, and the version numbering shift they cause must not detach
+    a prefix from its oracle. Also pins ``changes(u, v)`` disjointness:
+    consecutive half-open ranges partition the full changelog."""
+    import shutil
+    import tempfile
+
+    from odibel_spark.cdc.replay import split_dead_letters
+    from odibel_spark.lake.merge import compact_buckets, create_cdc_table, merge_upsert
+    from odibel_spark.lake.table import BucketSpec
+
+    rows = _event_rows(data)
+    bounds = sorted(set(cuts) | {len(rows)})
+    batches, at = [], 0
+    for b in bounds:
+        batches.append(rows[at : min(b, len(rows))])
+        at = min(b, len(rows))
+    batches = [b for b in batches if b]
+    # designed tail: every example ends with a batch that CHANGES state
+    # (two fresh valid upserts) — without it, small drawn soups can
+    # leave the final commit stateless and an off-by-one dropping the
+    # range's last commit survives (mutation-verified both ways)
+    tail = _event_rows(
+        [("insert", "c0", 0, "tailA"), ("insert", "c1", 1, "tailB")]
+    )
+    for j, r in enumerate(tail):
+        r["lsn"] = len(rows) + j
+    rows = rows + tail
+    batches.append(tail)
+    root = tempfile.mkdtemp(prefix="odibel-prop-chlog-")
+    try:
+        t = create_cdc_table(
+            spark, root, _cdc_fields(), BucketSpec("conv_id", 4),
+            key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+        )
+        # (version, prefix_row_count) after each data commit
+        marks: list[tuple[int, int]] = []
+        n_done = 0
+        for i, b in enumerate(batches):
+            ok, _dead = split_dead_letters(spark.createDataFrame(b, EVENT_SCHEMA))
+            merge_upsert(t, ok, ["conv_id", "turn_idx"], fold=False)
+            n_done += len(b)
+            marks.append((t.current_version(), n_done))
+            if i == compact_after:
+                compact_buckets(t)  # must be changelog-invisible
+
+        def fold(ch_rows):
+            state = {}
+            for r in ch_rows:
+                key = (r["conv_id"], r["turn_idx"])
+                if key not in state or r["_lsn"] > state[key]["_lsn"]:
+                    state[key] = r
+            return {
+                (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["tool"], r["_lsn"])
+                for r in state.values()
+                if not r["_deleted"]
+            }
+
+        for v, n in marks:
+            got = fold(t.changes(0, until_version=v).collect())
+            assert got == _lww_oracle(rows[:n]), (v, n)
+        # consecutive half-open ranges partition the full changelog:
+        # same multiset of change rows as one (0, head] scan
+        if marks:
+            pieces = []
+            prev = 0
+            for v, _n in marks:
+                pieces += [
+                    (r["conv_id"], r["turn_idx"], r["_lsn"], r["_deleted"])
+                    for r in t.changes(prev, until_version=v).collect()
+                ]
+                prev = v
+            whole = [
+                (r["conv_id"], r["turn_idx"], r["_lsn"], r["_deleted"])
+                for r in t.changes(0, until_version=marks[-1][0]).collect()
+            ]
+            assert sorted(pieces) == sorted(whole)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
