@@ -407,6 +407,8 @@ class LakeTable:
         version_hint: int,
         bucket: BucketSpec | None,
         write_salt: int = 1,
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
     ) -> list[dict]:
         """Write df as immutable parquet files under data/, return file
         descriptors. Bucketed tables cluster rows so each file belongs
@@ -421,7 +423,31 @@ class LakeTable:
         A caller that already clustered the rows by a ``_bucket``
         column (e.g. the MoR merge, which reuses its fold shuffle for
         the layout) skips the extra repartition exchange entirely.
+
+        ``cluster_by`` is the table's sort-order lever (Iceberg sort
+        orders / Delta ``OPTIMIZE ZORDER`` in spirit): on an unbucketed
+        table the commit is range-repartitioned then sorted on those
+        columns, so each data file covers a narrow, near-disjoint slice
+        and the manifest column bounds (``stats_columns`` — which
+        should include the cluster columns, or the layout buys no file
+        skipping) make ``read(where_ranges=...)`` skip most files.
+        ``cluster_files`` pins the file count (Iceberg's target-file
+        knob); left ``None``, AQE sizes the range partitions by its
+        advisory partition bytes — the right default at scale, but a
+        small commit then coalesces to one file and buys no skipping.
+        On a
+        bucketed table the bucket layout wins (files must stay
+        one-bucket); clustering there sorts rows within each bucket
+        file, tightening parquet row-group statistics that Spark's own
+        pushed-down range filter prunes at scan time. Range
+        repartitioning samples the input (one extra Spark job per
+        commit) — a write-side cost paid once, amortized over every
+        range read of the file.
         """
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"cluster_by columns not in data: {missing}")
         commit_dir = os.path.join(self.root, DATA_DIR, f"c{version_hint}-{uuid.uuid4().hex[:8]}")
         if bucket:
             pre_bucketed = "_bucket" in df.columns
@@ -438,10 +464,22 @@ class LakeTable:
                     )
                 else:
                     out = out.repartition(bucket.buckets, "_bucket")
-            out = out.sortWithinPartitions(bucket.column)
+            out = out.sortWithinPartitions(bucket.column, *cluster_by)
             out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
         else:
-            df.write.mode("errorifexists").parquet(commit_dir)
+            out = df
+            if cluster_by:
+                cols = [F.col(c) for c in cluster_by]
+                # explicit numPartitions pins the layout (AQE never
+                # coalesces REPARTITION_BY_NUM shuffles); without it
+                # AQE picks the count from its advisory size
+                out = (
+                    out.repartitionByRange(cluster_files, *cols)
+                    if cluster_files
+                    else out.repartitionByRange(*cols)
+                )
+                out = out.sortWithinPartitions(*cluster_by)
+            out.write.mode("errorifexists").parquet(commit_dir)
         found: list[tuple[str, int | None]] = []
         for dirpath, _dirs, names in os.walk(commit_dir):
             b = None
@@ -759,16 +797,30 @@ class LakeTable:
         watermarks_update: dict | None = None,
         write_salt: int = 1,
         op: str = "append",
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
     ) -> dict:
         cur = self.manifest()
-        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec(), write_salt)
+        new = self._write_data_files(
+            df, cur["version"] + 1, self.bucket_spec(), write_salt,
+            cluster_by=cluster_by, cluster_files=cluster_files,
+        )
         return self._next_commit(
             new, lambda c: c["files"], self._tagged(summary, op), watermarks_update
         )
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> dict:
+    def overwrite(
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        cluster_by: tuple[str, ...] = (),
+        cluster_files: int | None = None,
+    ) -> dict:
         cur = self.manifest()
-        new = self._write_data_files(df, cur["version"] + 1, self.bucket_spec())
+        new = self._write_data_files(
+            df, cur["version"] + 1, self.bucket_spec(),
+            cluster_by=cluster_by, cluster_files=cluster_files,
+        )
         return self._next_commit(new, [], self._tagged(summary, "overwrite"))
 
     def commit_metadata(self, summary: dict, watermarks_update: dict | None = None) -> dict:

@@ -425,6 +425,51 @@ def test_where_ranges_prunes_files_and_matches_plain_filter(spark, tmpdir_path):
     assert sorted(got.collect()) == sorted(t2.read().filter(F.col("ts") >= F.lit(cut)).collect())
 
 
+def test_cluster_by_tightens_bounds_and_prunes_range_reads(spark, tmpdir_path):
+    """Write-time clustering (Iceberg sort order analog): the same
+    shuffled data committed with ``cluster_by`` yields near-disjoint
+    per-file bounds so a range read plans a small file subset, while
+    the unclustered layout's files all straddle the range and nothing
+    can be skipped — with identical query results either way."""
+    import random
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    ks = list(range(4000))
+    random.Random(42).shuffle(ks)
+    df = spark.createDataFrame([(k, f"x{k}") for k in ks], schema).repartition(8)
+    plain = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cl_plain"), schema,
+        properties={"stats_columns": ["k"]},
+    )
+    plain.append(df)
+    clustered = LakeTable.create(
+        spark, os.path.join(tmpdir_path, "cl_sorted"), schema,
+        properties={"stats_columns": ["k"]},
+    )
+    clustered.append(df, cluster_by=("k",), cluster_files=8)
+    q = {"k": (1000, 1199)}
+    expect = sorted(plain.read().filter("k between 1000 and 1199").collect())
+    assert sorted(plain.read(where_ranges=q).collect()) == expect
+    assert sorted(clustered.read(where_ranges=q).collect()) == expect
+    total = len(clustered.read().inputFiles())
+    assert total > 1, "clustered append produced a single file; test shape is degenerate"
+    hit = len(clustered.read(where_ranges=q).inputFiles())
+    # width-200 range over ~500-row range-partitioned files: at most a
+    # couple of adjacent files survive even with sampled boundaries
+    assert hit <= 3 and hit < total, (hit, total)
+    # every random-order file straddles the range: nothing skippable
+    assert len(plain.read(where_ranges=q).inputFiles()) == len(plain.read().inputFiles())
+    # bucketed tables keep the bucket layout; cluster_by only sorts
+    # within files — result parity is the contract there
+    b = make_table(spark, os.path.join(tmpdir_path, "cl_bucketed"), buckets=2)
+    b.append(spark.createDataFrame(_mk_rows([3, 1, 2]), TRANSCRIPT_SCHEMA), cluster_by=("_lsn",))
+    assert b.read().count() == 3  # three distinct (conv, turn) keys
+    with pytest.raises(ValueError, match="cluster_by"):
+        plain.append(df, cluster_by=("nope",))
+
+
 def test_where_ranges_mor_fold_guard(spark, tmpdir_path):
     """Key-column ranges prune a fold read soundly; payload/system
     ranges on a fold read raise (they could drop a key's latest delta);
