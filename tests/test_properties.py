@@ -1789,8 +1789,9 @@ def test_contamination_matches_python_set_mirror(spark, corpus, bench, min_share
     ),
     lo=st.one_of(st.none(), st.integers(min_value=-6, max_value=41)),
     hi=st.one_of(st.none(), st.integers(min_value=-6, max_value=41)),
+    clustered=st.booleans(),
 )
-def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi):
+def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi, clustered):
     """``read(where_ranges=...)`` must be pure pruning: on ANY commit
     layout (random batches → random per-file bounds, null values whose
     rows no footer bound describes) and ANY half-open/closed/empty/
@@ -1798,14 +1799,17 @@ def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi):
     read — file skipping may only remove files the bounds PROVE empty
     for the range. Nulls: a bounded range excludes them (SQL
     comparison semantics); a fully open range is no filter at all and
-    keeps them."""
+    keeps them. ``clustered`` draws the other write layout: an
+    unbucketed table whose commits range-repartition + sort on the
+    range column (``cluster_by`` — nulls land in the first range
+    partition, so null rows must still obey the same keep rule)."""
     import shutil
     import tempfile
 
     from pyspark.sql import types as T
 
     from odibel_spark.lake.merge import create_cdc_table
-    from odibel_spark.lake.table import BucketSpec
+    from odibel_spark.lake.table import BucketSpec, LakeTable
 
     fields = [
         T.StructField("conv_id", T.StringType(), False),
@@ -1814,15 +1818,32 @@ def test_range_pruned_read_equals_naive_filter(spark, batches, lo, hi):
     schema = "conv_id string, turn_idx int, _lsn long, _deleted boolean"
     root = tempfile.mkdtemp(prefix="odibel-prop-prune-")
     try:
-        t = create_cdc_table(
-            spark, root, fields, BucketSpec("conv_id", 2),
-            key_cols=["conv_id", "turn_idx"],
-        )
+        if clustered:
+            t = LakeTable.create(
+                spark, root,
+                T.StructType(
+                    fields
+                    + [
+                        T.StructField("_lsn", T.LongType(), True),
+                        T.StructField("_deleted", T.BooleanType(), True),
+                    ]
+                ),
+                properties={"stats_columns": ["_lsn"]},
+            )
+        else:
+            t = create_cdc_table(
+                spark, root, fields, BucketSpec("conv_id", 2),
+                key_cols=["conv_id", "turn_idx"],
+            )
         all_rows = []
         for i, b in enumerate(batches):
             rows = [(c, ti, lsn, False) for (c, ti, lsn) in b]
             all_rows += rows
-            t.append(spark.createDataFrame(rows, schema))
+            t.append(
+                spark.createDataFrame(rows, schema),
+                cluster_by=("_lsn",) if clustered else (),
+                cluster_files=2 if clustered else None,
+            )
 
         def keep(lsn):
             if lo is not None and (lsn is None or lsn < lo):
