@@ -26,6 +26,7 @@ Usage:
         (argparse defaults are 1M/1g/900 — too light for the heap arm
         to OOM; the recorded artifact's invocation is the line above)
     python tools/ab_bench.py triples_cache [--reps 3]   (negative result, kept on purpose)
+    python tools/ab_bench.py cluster_layout [--events 2000000] [--reps 3]   (--events = row count)
 """
 
 from __future__ import annotations
@@ -775,9 +776,96 @@ def ab_triples_cache(spark, reps: int, sf_dir: str) -> None:
     )
 
 
+def ab_cluster_layout(spark, rows_n: int, reps: int) -> None:
+    """Write-time clustering's read-side payoff: the same shuffled
+    rows committed to two unbucketed LakeTables with the SAME file
+    count — random layout vs cluster_by range layout — then an
+    interleaved 1%-range read (where_ranges on the manifest bounds) of
+    each. The deterministic metric is files planned (random layout:
+    every file straddles the range, nothing skippable; clustered:
+    O(range/file-width) files); wall clock rides along. Write cost is
+    recorded separately: the clustered commit pays a range-partition
+    sampling job + sort once, amortized over every range read."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake.table import LakeTable
+
+    base = tempfile.mkdtemp(prefix="ab-cluster-")
+    cpus = spark.sparkContext.defaultParallelism
+    n_files = cpus * 2
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    # deterministic shuffled keys; payload = 4x sha2 hex (incompressible
+    # enough that file size tracks row count)
+    pay = F.concat(*[F.sha2(F.concat(F.col("k").cast("string"), F.lit(s)), 256) for s in "abcd"])
+    src = os.path.join(base, "src")
+    (
+        spark.range(rows_n)
+        .select(F.xxhash64("id").alias("_ord"), F.col("id").alias("k"))
+        .orderBy("_ord")
+        .drop("_ord")
+        .withColumn("v", pay)
+        .repartition(n_files)
+        .write.parquet(src)
+    )
+    # both write arms read the SAME materialized input (and a warmup
+    # count pages it in) so neither pays the synthesis cold
+    df = spark.read.parquet(src)
+    df.count()
+    t_write = {}
+    t0 = time.perf_counter()
+    plain = LakeTable.create(
+        spark, os.path.join(base, "plain"), schema, properties={"stats_columns": ["k"]}
+    )
+    # round-robin to the same file count: both arms pay one write
+    # shuffle, so the write-cost delta isolates range sampling + sort
+    plain.append(df.repartition(n_files))
+    t_write["random_layout"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clustered = LakeTable.create(
+        spark, os.path.join(base, "clustered"), schema, properties={"stats_columns": ["k"]}
+    )
+    clustered.append(df, cluster_by=("k",), cluster_files=n_files)
+    t_write["clustered_layout"] = round(time.perf_counter() - t0, 3)
+
+    lo = rows_n // 2
+    hi = lo + rows_n // 100
+    q = {"k": (lo, hi)}
+    planned = {
+        "random_layout": {
+            "planned": len(plain.read(where_ranges=q).inputFiles()),
+            "total": len(plain.read().inputFiles()),
+        },
+        "clustered_layout": {
+            "planned": len(clustered.read(where_ranges=q).inputFiles()),
+            "total": len(clustered.read().inputFiles()),
+        },
+    }
+    try:
+        run_ab(
+            "cluster_layout", spark,
+            {
+                "random_layout": lambda: materialize(plain.read(where_ranges=q)),
+                "clustered_layout": lambda: materialize(clustered.read(where_ranges=q)),
+            },
+            reps,
+            {"rows": rows_n, "files_per_table": n_files,
+             "range_width_pct": 1.0,
+             "files_planned": planned,
+             "write_wall_s": t_write,
+             "note": "files_planned is the noise-free metric: identical file counts, "
+                     "identical data, only the row->file assignment differs; the wall "
+                     "cells measure the same range read over both layouts in one JVM"},
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure", "triples_cache"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure", "triples_cache", "cluster_layout"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -823,6 +911,8 @@ def main() -> int:
         ab_infer_filter_pushdown(spark, args.docs, args.reps, args.words or 200)
     elif args.which == "state_store":
         ab_state_store(spark, args.events, args.reps)
+    elif args.which == "cluster_layout":
+        ab_cluster_layout(spark, args.events, args.reps)
     elif args.which == "triples_cache":
         ab_triples_cache(spark, args.reps, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     else:
