@@ -282,11 +282,16 @@ def compact_buckets(
     tombstone_gc_below_lsn: int | None = None,
     summary: dict | None = None,
     retries: int = 3,
+    cluster_by: tuple[str, ...] = (),
 ) -> dict:
     """MoR maintenance: rewrite buckets folding delta rows to one row
     per key (bounding read-time fold cost), optionally dropping
     tombstones whose LSN fence is safely below the stream
-    low-watermark. Safe to run concurrently with readers (snapshot
+    low-watermark. ``cluster_by`` additionally sorts each rewritten
+    bucket file on those columns (compaction doubling as OPTIMIZE:
+    the rewrite is happening anyway, so the sort rides the same
+    shuffle and tightens the parquet row-group statistics that
+    Spark's pushed-down range filters prune at scan time). Safe to run concurrently with readers (snapshot
     isolation) AND with writers: the replacement is pinned to the
     snapshot version it was folded from, so if a concurrent merge
     lands delta files in the target buckets mid-compaction the commit
@@ -322,7 +327,7 @@ def compact_buckets(
         try:
             return table.replace_buckets(
                 target, folded, summary=summary, op="compact",
-                base_version=base_version,
+                base_version=base_version, cluster_by=cluster_by,
             )
         except CommitConflict:
             if attempt == retries - 1:

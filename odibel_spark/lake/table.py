@@ -464,7 +464,12 @@ class LakeTable:
                     )
                 else:
                     out = out.repartition(bucket.buckets, "_bucket")
-            out = out.sortWithinPartitions(bucket.column, *cluster_by)
+            # lead with _bucket: the partitionBy writer REQUIRES tasks
+            # ordered by the partition column and silently inserts its
+            # own (unstable) sort when they aren't — which would clobber
+            # this one. Satisfying the required ordering up front means
+            # no planner sort, so the clustering survives to the file.
+            out = out.sortWithinPartitions("_bucket", bucket.column, *cluster_by)
             out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
         else:
             out = df
@@ -868,12 +873,16 @@ class LakeTable:
         write_salt: int = 1,
         base_version: int | None = None,
         op: str = "merge",
+        cluster_by: tuple[str, ...] = (),
     ) -> dict:
         """Copy-on-write commit unit: atomically swap all files of the
         given buckets for the new data (which must only contain rows of
         those buckets). Files in other buckets are carried over from
         the FRESH manifest at commit time, so a lost race against a
         writer of *other* buckets retries cleanly.
+
+        ``cluster_by`` sorts the replacement rows within each bucket
+        file (see ``_write_data_files``) — compaction's OPTIMIZE hook.
 
         ``base_version`` is the snapshot the replacement data was
         computed from (callers that read the table first pass the
@@ -885,7 +894,9 @@ class LakeTable:
         base_target = sorted(
             f["path"] for f in self.files(base) if f.get("bucket") in buckets
         )
-        new = self._write_data_files(df, base + 1, self.bucket_spec(), write_salt)
+        new = self._write_data_files(
+            df, base + 1, self.bucket_spec(), write_salt, cluster_by=cluster_by
+        )
         stray = [f for f in new if f.get("bucket") not in buckets and f["rows"] > 0]
         if stray:
             raise ValueError(f"replacement data contains rows outside target buckets: {stray}")

@@ -470,6 +470,43 @@ def test_cluster_by_tightens_bounds_and_prunes_range_reads(spark, tmpdir_path):
         plain.append(df, cluster_by=("nope",))
 
 
+def test_compaction_cluster_by_sorts_rewritten_files(spark, tmpdir_path):
+    """compact_buckets(cluster_by=...) doubles as OPTIMIZE: every
+    rewritten bucket file comes out sorted by (bucket column, cluster
+    columns) — checked against the raw parquet bytes — with the folded
+    state unchanged."""
+    import pyarrow.parquet as pq
+
+    from odibel_spark.lake import compact_buckets
+
+    import random
+
+    t = create_cdc_table(
+        spark, os.path.join(tmpdir_path, "cl_compact"), TRANSCRIPT_FIELDS,
+        BucketSpec("conv_id", 2), key_cols=KEYS, merge_mode="mor",
+    )
+    # enough shuffled rows per bucket that the partitionBy writer's
+    # own inserted sort (unstable, _bucket-only — the clobber this
+    # test exists to catch) would visibly scramble the cluster order
+    rng = random.Random(3)
+    for batch in range(3):
+        rows = [
+            (f"c{rng.randrange(6)}", rng.randrange(40), "user", "a", None, None,
+             batch * 1000 + i, False)
+            for i in range(150)
+        ]
+        t.append(spark.createDataFrame(rows, TRANSCRIPT_SCHEMA))
+    before = sorted(t.read().collect())
+    compact_buckets(t, cluster_by=("_lsn",))
+    assert sorted(t.read().collect()) == before
+    fs = [f for f in t.files() if f["rows"]]
+    assert fs and t.manifest()["summary"]["op"] == "compact"
+    for f in fs:
+        tbl = pq.read_table(os.path.join(t.root, f["path"]), columns=["conv_id", "_lsn"])
+        pairs = list(zip(tbl.column("conv_id").to_pylist(), tbl.column("_lsn").to_pylist()))
+        assert pairs == sorted(pairs), f["path"]
+
+
 def test_where_ranges_mor_fold_guard(spark, tmpdir_path):
     """Key-column ranges prune a fold read soundly; payload/system
     ranges on a fold read raise (they could drop a key's latest delta);
@@ -703,10 +740,13 @@ def test_nan_stats_never_fold_to_a_finite_bound(spark, tmpdir_path):
             properties={"stats_columns": ["score", "k"]},
         )
         # NaN mid-file with finite rows AFTER it: the later groups'
-        # finite maxes are what a naive fold would keep.
+        # finite maxes are what a naive fold would keep. The writer
+        # sorts rows by the bucket column ("k"), so the NaN row's key
+        # must SORT into the middle of the range ("k0500!" lands just
+        # before "k0500") for it to end up in a non-final row group.
         rows = (
             [(f"k{i:04d}", float(i)) for i in range(500)]
-            + [("knan", float("nan"))]
+            + [("k0500!", float("nan"))]
             + [(f"k{i:04d}", float(i)) for i in range(500, 900)]
         )
         t.append(spark.createDataFrame(rows, "k string, score double").coalesce(1))
@@ -744,5 +784,5 @@ def test_nan_stats_never_fold_to_a_finite_bound(spark, tmpdir_path):
     plain = t.read().filter(F.col("score") >= F.lit(1000.0))
     assert len(pruned.inputFiles()) == 1  # kept, not pruned
     got, want = pruned.collect(), plain.collect()
-    assert [r["k"] for r in got] == [r["k"] for r in want] == ["knan"]
+    assert [r["k"] for r in got] == [r["k"] for r in want] == ["k0500!"]
     assert math.isnan(got[0]["score"])
