@@ -118,6 +118,13 @@ class PipelineConfig:
     #: mor only: fold delta files back into one row per key every N
     #: epochs (bounds read amplification); None = manual compaction
     compact_every_epochs: int | None = 8
+    #: mor only: columns the periodic compaction additionally sorts
+    #: each rewritten bucket file on (compaction doubling as OPTIMIZE —
+    #: the rewrite shuffle is already paid, and the sort tightens the
+    #: parquet row-group statistics pushed-down range filters prune at
+    #: scan time; ("_lsn",) makes "recent changes for this conv" probes
+    #: near-O(result)). () = fold order only.
+    compact_cluster_by: tuple[str, ...] = ()
     #: >1 splits each bucket's commit write across this many tasks
     #: (deterministic row-hash salt) — hot-conversation skew insurance:
     #: one dominant conv_id otherwise serializes the commit behind a
@@ -301,6 +308,7 @@ class TranscriptCdcPipeline:
                     table,
                     tombstone_gc_below_lsn=gc_below,
                     summary={"stream_id": self.cfg.stream_id, "after_epoch": epoch_id},
+                    cluster_by=self.cfg.compact_cluster_by,
                 )
             if self.cfg.fail_after_commit_epoch == epoch_id:
                 raise RuntimeError(f"fault-injection: crash after commit of epoch {epoch_id}")
@@ -492,7 +500,11 @@ class TranscriptCdcPipeline:
                 lin = self.lineage().agg(F.max("max_lsn")).collect()[0][0]
                 if lin is not None:
                     gc_below = max(int(lin) - self.cfg.tombstone_gc_lsn_slack, 0)
-            compact_buckets(table, tombstone_gc_below_lsn=gc_below, summary={"reason": "maintenance"})
+            compact_buckets(
+                table, tombstone_gc_below_lsn=gc_below,
+                summary={"reason": "maintenance"},
+                cluster_by=self.cfg.compact_cluster_by,
+            )
             out["compacted"] = True
         removed = table.vacuum(keep_versions=keep_versions, grace_seconds=vacuum_grace_seconds)
         out["vacuumed_files"] = len(removed)

@@ -169,6 +169,43 @@ def test_mor_pipeline_matches_cow_and_oracle(spark, wal_dir, tmpdir_path):
     assert raw.filter(F.col("_deleted")).count() == 0
 
 
+def test_mor_pipeline_clustered_compaction(spark, wal_dir, tmpdir_path):
+    """compact_cluster_by: the pipeline's periodic compaction doubles
+    as OPTIMIZE — after the run's final in-stream compaction, every
+    compaction-written bucket file is sorted by (conv_id, _lsn) in the
+    raw parquet bytes (the layout pushed-down range filters prune row
+    groups on), and the table still equals the batch oracle."""
+    import pyarrow.parquet as pq
+
+    base = os.path.join(tmpdir_path, "morcl")
+    os.makedirs(base)
+    p = run_pipeline(
+        spark, wal_dir, base, max_files_per_trigger=2,
+        merge_mode="mor", compact_every_epochs=2,
+        compact_cluster_by=("_lsn",),
+    )
+    got = p.table().read()
+    exp = oracle_state(spark, CFG)
+    cols = PAYLOAD_COLS
+    assert checksum(got.select(*cols), cols) == checksum(exp.select(*cols), cols)
+    t = p.table()
+    # the last compaction commit's surviving files are the clustered set;
+    # post-compaction merge epochs may have appended newer delta files
+    hist = t.history()
+    compact_vs = [m["version"] for m in hist if m["summary"].get("op") == "compact"]
+    assert compact_vs, "pipeline never compacted"
+    compacted = {f["path"] for f in t.files(version=compact_vs[-1])} & {
+        f["path"] for f in t.files()
+    }
+    assert compacted, "no compaction-written file survived to HEAD"
+    for path in compacted:
+        tbl = pq.read_table(
+            os.path.join(t.root, path), columns=["conv_id", "_lsn"]
+        )
+        pairs = list(zip(tbl.column("conv_id").to_pylist(), tbl.column("_lsn").to_pylist()))
+        assert pairs == sorted(pairs), path
+
+
 def test_mor_crash_restart_exactly_once(spark, wal_dir, tmpdir_path):
     base = os.path.join(tmpdir_path, "morcrash")
     os.makedirs(base)

@@ -27,6 +27,7 @@ Usage:
         to OOM; the recorded artifact's invocation is the line above)
     python tools/ab_bench.py triples_cache [--reps 3]   (negative result, kept on purpose)
     python tools/ab_bench.py cluster_layout [--events 2000000] [--reps 3]   (--events = row count)
+    python tools/ab_bench.py compact_cluster [--events 4000000] [--reps 3]  (--events = row count)
 """
 
 from __future__ import annotations
@@ -863,9 +864,119 @@ def ab_cluster_layout(spark, rows_n: int, reps: int) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def ab_compact_cluster(spark, rows_n: int, reps: int) -> None:
+    """Compaction-as-OPTIMIZE's read-side payoff on a BUCKETED MoR
+    table (where files must stay one-bucket, so manifest-level file
+    skipping can't narrow a hot-conv + LSN-slice probe — the win has
+    to come from parquet ROW-GROUP stats). Same data compacted twice:
+    plain fold vs fold + cluster_by=("_lsn",). Both layouts are
+    conv-sorted (the bucket-column sort is unconditional), so the
+    delta isolates the _lsn clustering within each conv run. The
+    deterministic metric is row groups whose footer stats overlap
+    `conv_id = <hot> AND _lsn BETWEEN lo,hi` — exactly what Spark's
+    pushed-down filter prunes at scan time; wall cells measure the
+    same filtered scan over both layouts interleaved in one JVM."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from odibel_spark.lake import BucketSpec, cdc_table_schema, compact_buckets, create_cdc_table
+
+    base = tempfile.mkdtemp(prefix="ab-compact-cluster-")
+    n_convs, n_buckets = 32, 8
+    fields = [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+    schema = cdc_table_schema(fields)
+    # one row per (conv, turn); _lsn is a deterministic permutation of
+    # the row index (odd-multiplier mod 2^40) so that WITHOUT the
+    # cluster sort a conv run's row groups each span ~the full LSN
+    # range (nothing prunable) while the data itself is identical
+    per_conv = rows_n // n_convs
+    pay = F.sha2(F.concat(F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
+    src = (
+        spark.range(rows_n)
+        .select(
+            F.concat(F.lit("c"), (F.col("id") % n_convs).cast("string")).alias("conv_id"),
+            (F.col("id") / n_convs).cast("int").alias("turn_idx"),
+        )
+        .withColumn("text", pay)
+        .withColumn(
+            "_lsn",
+            ((F.col("turn_idx").cast("long") * 1_000_003) % F.lit(per_conv)).cast("long"),
+        )
+        .withColumn("_deleted", F.lit(False))
+    )
+    # small row groups so each bucket file holds MANY of them — the
+    # unit the pushed-down filter prunes; declared in the artifact
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(1 << 20))
+    tables = {}
+    t_compact = {}
+    try:
+        for arm, cluster in (("fold_only", ()), ("fold_clustered", ("_lsn",))):
+            t = create_cdc_table(
+                spark, os.path.join(base, arm), fields,
+                BucketSpec("conv_id", n_buckets),
+                key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+                stats_columns=["conv_id", "_lsn"],
+            )
+            t.append(src.select(*schema.fieldNames()))
+            t0 = time.perf_counter()
+            compact_buckets(t, cluster_by=cluster)
+            t_compact[arm] = round(time.perf_counter() - t0, 3)
+            tables[arm] = t
+    finally:
+        hconf.set("parquet.block.size", old_block) if old_block is not None \
+            else hconf.unset("parquet.block.size")
+
+    hot = "c7"
+    lo, hi = per_conv // 2, per_conv // 2 + per_conv // 50  # 2% LSN slice
+    groups = {}
+    for arm, t in tables.items():
+        total = kept = 0
+        for f in (x for x in t.files() if x["rows"]):
+            md = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata
+            idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                total += 1
+                sc = md.row_group(rg).column(idx["conv_id"]).statistics
+                sl = md.row_group(rg).column(idx["_lsn"]).statistics
+                if sc.min <= hot <= sc.max and sl.min <= hi and sl.max >= lo:
+                    kept += 1
+        groups[arm] = {"overlapping_row_groups": kept, "total_row_groups": total}
+
+    pred = (F.col("conv_id") == hot) & F.col("_lsn").between(lo, hi)
+
+    def scan(t):
+        return lambda: materialize(
+            t.read(fold=False).filter(pred).select("conv_id", "turn_idx", "_lsn")
+        )
+
+    try:
+        run_ab(
+            "compact_cluster", spark,
+            {arm: scan(t) for arm, t in tables.items()},
+            reps,
+            {"rows": rows_n, "convs": n_convs, "buckets": n_buckets,
+             "parquet_block_size": 1 << 20,
+             "probe": f"conv_id = {hot} AND _lsn in a 2% slice",
+             "row_groups": groups,
+             "compact_wall_s": t_compact,
+             "note": "row_groups is the noise-free metric: identical folded data, "
+                     "identical file count, only within-file row order differs; both "
+                     "arms are conv-sorted so the delta isolates cluster_by=('_lsn',)"},
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure", "triples_cache", "cluster_layout"])
+    ap.add_argument("which", choices=["trigger_posture", "lsh_mass_dup", "lsh_clean_corpus", "shingle_tokenize", "infer_filter_pushdown", "profile_cse", "kmeans_divide", "stream_dedup", "state_store", "state_store_pressure", "triples_cache", "cluster_layout", "compact_cluster"])
     ap.add_argument("--events", type=int, default=1_000_000)
     ap.add_argument("--copies", type=int, default=20_000,
                     help="lsh_mass_dup: total documents (50 distinct contents)")
@@ -913,6 +1024,8 @@ def main() -> int:
         ab_state_store(spark, args.events, args.reps)
     elif args.which == "cluster_layout":
         ab_cluster_layout(spark, args.events, args.reps)
+    elif args.which == "compact_cluster":
+        ab_compact_cluster(spark, args.events, args.reps)
     elif args.which == "triples_cache":
         ab_triples_cache(spark, args.reps, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     else:
