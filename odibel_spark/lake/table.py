@@ -469,7 +469,12 @@ class LakeTable:
             # own (unstable) sort when they aren't — which would clobber
             # this one. Satisfying the required ordering up front means
             # no planner sort, so the clustering survives to the file.
-            out = out.sortWithinPartitions("_bucket", bucket.column, *cluster_by)
+            # When no clustering is requested, sort by _bucket ALONE —
+            # the minimal ordering the writer needs; adding the (string)
+            # bucket column would tax every micro-batch commit for a
+            # row-group layout nobody asked for.
+            cluster_sort = (bucket.column, *cluster_by) if cluster_by else ()
+            out = out.sortWithinPartitions("_bucket", *cluster_sort)
             out.write.partitionBy("_bucket").mode("errorifexists").parquet(commit_dir)
         else:
             out = df
