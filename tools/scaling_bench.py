@@ -210,7 +210,17 @@ spark.stop()
 
         mor, cow = summary["mor"], summary["cow"]
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        # the criterion block is regenerated, but the file also carries
+        # hand-written trailing sections (artifact catalog, variance
+        # appendix, drift adjudications) — preserve them across reruns
+        out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        keep = ""
+        marker = "## Cross-round comparability artifacts"
+        if os.path.exists(out_path):
+            prev = open(out_path).read()
+            if marker in prev:
+                keep = "\n" + prev[prev.index(marker):]
+        with open(out_path, "w") as f:
             f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 North rule criterion: throughput scaling efficiency >= 0.8 from N to
@@ -289,7 +299,7 @@ sustained scaling efficiency = {cow["scaling_efficiency"]}
 (all-data: {cow["scaling_efficiency_alldata"]}, wall-clock: {cow["scaling_efficiency_wall"]})
 
 Reproduce: `python tools/scaling_bench.py {n_events} {n_small} {n_big} {reps} {mft}`
-""")
+""" + keep)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
