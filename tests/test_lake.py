@@ -740,10 +740,11 @@ def test_nan_stats_never_fold_to_a_finite_bound(spark, tmpdir_path):
             properties={"stats_columns": ["score", "k"]},
         )
         # NaN mid-file with finite rows AFTER it: the later groups'
-        # finite maxes are what a naive fold would keep. The writer
-        # sorts rows by the bucket column ("k"), so the NaN row's key
-        # must SORT into the middle of the range ("k0500!" lands just
-        # before "k0500") for it to end up in a non-final row group.
+        # finite maxes are what a naive fold would keep. A plain
+        # (unclustered) append sorts only on _bucket — constant here —
+        # so rows ship in input order and placing the NaN at position
+        # 500 lands it in a non-final row group; the poisoned-shape
+        # assert below fails loudly if the layout ever changes.
         rows = (
             [(f"k{i:04d}", float(i)) for i in range(500)]
             + [("k0500!", float("nan"))]

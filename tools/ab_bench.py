@@ -883,80 +883,81 @@ def ab_compact_cluster(spark, rows_n: int, reps: int) -> None:
     from odibel_spark.lake import BucketSpec, cdc_table_schema, compact_buckets, create_cdc_table
 
     base = tempfile.mkdtemp(prefix="ab-compact-cluster-")
-    n_convs, n_buckets = 32, 8
-    fields = [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("text", T.StringType(), True),
-    ]
-    schema = cdc_table_schema(fields)
-    # one row per (conv, turn); _lsn is a deterministic permutation of
-    # the row index (odd-multiplier mod 2^40) so that WITHOUT the
-    # cluster sort a conv run's row groups each span ~the full LSN
-    # range (nothing prunable) while the data itself is identical
-    per_conv = rows_n // n_convs
-    pay = F.sha2(F.concat(F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
-    src = (
-        spark.range(rows_n)
-        .select(
-            F.concat(F.lit("c"), (F.col("id") % n_convs).cast("string")).alias("conv_id"),
-            (F.col("id") / n_convs).cast("int").alias("turn_idx"),
-        )
-        .withColumn("text", pay)
-        .withColumn(
-            "_lsn",
-            ((F.col("turn_idx").cast("long") * 1_000_003) % F.lit(per_conv)).cast("long"),
-        )
-        .withColumn("_deleted", F.lit(False))
-    )
-    # small row groups so each bucket file holds MANY of them — the
-    # unit the pushed-down filter prunes; declared in the artifact
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    old_block = hconf.get("parquet.block.size")
-    hconf.set("parquet.block.size", str(1 << 20))
-    tables = {}
-    t_compact = {}
     try:
-        for arm, cluster in (("fold_only", ()), ("fold_clustered", ("_lsn",))):
-            t = create_cdc_table(
-                spark, os.path.join(base, arm), fields,
-                BucketSpec("conv_id", n_buckets),
-                key_cols=["conv_id", "turn_idx"], merge_mode="mor",
-                stats_columns=["conv_id", "_lsn"],
+        n_convs, n_buckets = 32, 8
+        fields = [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+        schema = cdc_table_schema(fields)
+        # one row per (conv, turn); _lsn = (turn_idx * 1000003) % per_conv
+        # is a permutation of each conv's turn range (1000003 is prime, so
+        # coprime to any per_conv) — WITHOUT the cluster sort a conv run's
+        # row groups each span ~the full LSN range (nothing prunable)
+        # while the data itself is identical across arms
+        per_conv = rows_n // n_convs
+        pay = F.sha2(F.concat(F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
+        src = (
+            spark.range(rows_n)
+            .select(
+                F.concat(F.lit("c"), (F.col("id") % n_convs).cast("string")).alias("conv_id"),
+                (F.col("id") / n_convs).cast("int").alias("turn_idx"),
             )
-            t.append(src.select(*schema.fieldNames()))
-            t0 = time.perf_counter()
-            compact_buckets(t, cluster_by=cluster)
-            t_compact[arm] = round(time.perf_counter() - t0, 3)
-            tables[arm] = t
-    finally:
-        hconf.set("parquet.block.size", old_block) if old_block is not None \
-            else hconf.unset("parquet.block.size")
-
-    hot = "c7"
-    lo, hi = per_conv // 2, per_conv // 2 + per_conv // 50  # 2% LSN slice
-    groups = {}
-    for arm, t in tables.items():
-        total = kept = 0
-        for f in (x for x in t.files() if x["rows"]):
-            md = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata
-            idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-            for rg in range(md.num_row_groups):
-                total += 1
-                sc = md.row_group(rg).column(idx["conv_id"]).statistics
-                sl = md.row_group(rg).column(idx["_lsn"]).statistics
-                if sc.min <= hot <= sc.max and sl.min <= hi and sl.max >= lo:
-                    kept += 1
-        groups[arm] = {"overlapping_row_groups": kept, "total_row_groups": total}
-
-    pred = (F.col("conv_id") == hot) & F.col("_lsn").between(lo, hi)
-
-    def scan(t):
-        return lambda: materialize(
-            t.read(fold=False).filter(pred).select("conv_id", "turn_idx", "_lsn")
+            .withColumn("text", pay)
+            .withColumn(
+                "_lsn",
+                ((F.col("turn_idx").cast("long") * 1_000_003) % F.lit(per_conv)).cast("long"),
+            )
+            .withColumn("_deleted", F.lit(False))
         )
+        # small row groups so each bucket file holds MANY of them — the
+        # unit the pushed-down filter prunes; declared in the artifact
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        old_block = hconf.get("parquet.block.size")
+        hconf.set("parquet.block.size", str(1 << 20))
+        tables = {}
+        t_compact = {}
+        try:
+            for arm, cluster in (("fold_only", ()), ("fold_clustered", ("_lsn",))):
+                t = create_cdc_table(
+                    spark, os.path.join(base, arm), fields,
+                    BucketSpec("conv_id", n_buckets),
+                    key_cols=["conv_id", "turn_idx"], merge_mode="mor",
+                    stats_columns=["conv_id", "_lsn"],
+                )
+                t.append(src.select(*schema.fieldNames()))
+                t0 = time.perf_counter()
+                compact_buckets(t, cluster_by=cluster)
+                t_compact[arm] = round(time.perf_counter() - t0, 3)
+                tables[arm] = t
+        finally:
+            hconf.set("parquet.block.size", old_block) if old_block is not None \
+                else hconf.unset("parquet.block.size")
 
-    try:
+        hot = "c7"
+        lo, hi = per_conv // 2, per_conv // 2 + per_conv // 50  # 2% LSN slice
+        groups = {}
+        for arm, t in tables.items():
+            total = kept = 0
+            for f in (x for x in t.files() if x["rows"]):
+                md = pq.ParquetFile(os.path.join(t.root, f["path"])).metadata
+                idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+                for rg in range(md.num_row_groups):
+                    total += 1
+                    sc = md.row_group(rg).column(idx["conv_id"]).statistics
+                    sl = md.row_group(rg).column(idx["_lsn"]).statistics
+                    if sc.min <= hot <= sc.max and sl.min <= hi and sl.max >= lo:
+                        kept += 1
+            groups[arm] = {"overlapping_row_groups": kept, "total_row_groups": total}
+
+        pred = (F.col("conv_id") == hot) & F.col("_lsn").between(lo, hi)
+
+        def scan(t):
+            return lambda: materialize(
+                t.read(fold=False).filter(pred).select("conv_id", "turn_idx", "_lsn")
+            )
+
         run_ab(
             "compact_cluster", spark,
             {arm: scan(t) for arm, t in tables.items()},

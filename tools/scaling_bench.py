@@ -217,10 +217,13 @@ spark.stop()
         keep = ""
         marker = "## Cross-round comparability artifacts"
         if os.path.exists(out_path):
-            prev = open(out_path).read()
+            with open(out_path) as prev_f:
+                prev = prev_f.read()
             if marker in prev:
                 keep = "\n" + prev[prev.index(marker):]
-        with open(out_path, "w") as f:
+        # tmp + rename: a crash mid-write must never destroy the
+        # hand-written sections just read from the old file
+        with open(out_path + ".tmp", "w") as f:
             f.write(f"""# BENCH/BASELINE — scaling-efficiency evidence
 
 North rule criterion: throughput scaling efficiency >= 0.8 from N to
@@ -300,6 +303,7 @@ sustained scaling efficiency = {cow["scaling_efficiency"]}
 
 Reproduce: `python tools/scaling_bench.py {n_events} {n_small} {n_big} {reps} {mft}`
 """ + keep)
+        os.replace(out_path + ".tmp", out_path)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
